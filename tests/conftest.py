@@ -1,0 +1,24 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Tests run on the CPU backend with 8 virtual devices so multi-chip sharding
+paths compile and execute without TPU hardware (SURVEY.md §4).  x64 is
+enabled so host-side golden computations (metric tables, encoder state
+arithmetic for K>31 codes) match the C reference's double/long math.
+"""
+
+import os
+
+# The environment presets JAX_PLATFORMS=axon (tunneled TPU); tests must
+# force the CPU backend, so assign rather than setdefault.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+# sitecustomize imports jax at interpreter startup, which snapshots the
+# JAX_PLATFORMS=axon env var into jax.config before this file runs — so
+# update the live config too, not just the environment.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
