@@ -1,0 +1,299 @@
+"""Batched soft-decision Fano sequential decoder.
+
+Capability parity with ``fano.c`` (the 1994/2014 KA9Q Fano decoder):
+per-node precomputed 4-way branch metrics (fano.c:70-80), the
+threshold-walk search with delta tightening/relaxation (fano.c:110-189),
+known tail-bit forcing (fano.c:141-147), and a cycles-per-bit timeout
+(fano.c:106,110).
+
+TPU-native reformulation: the reference's data-dependent walk (forward
+look, then an inner multi-step backtrack loop) is flattened into a single
+``lax.while_loop`` of *micro-steps*.  Each batch element carries a mode
+flag — FORWARD elements attempt one branch extension (costing one cycle,
+matching the reference's outer-loop cycle count), BACKTRACK elements take
+one step of the inner loop (costing nothing, as in the reference).  All
+frames in the batch advance in lockstep until every one has finished or
+timed out — Fano's wildly variable per-frame cost (CHANGES:21) is
+absorbed by the batch dimension instead of a single CPU core.
+
+The per-node state (cumulative metric, sorted branch metrics, branch
+index, encoder-state hypothesis) is the array-of-structs ``struct node``
+(fano.c:13-19) turned into struct-of-arrays over (batch, nbits).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from isee3_decoder_tpu.config import DEFAULT_CODE, CodeSpec
+
+
+class FanoResult(NamedTuple):
+    bits: jax.Array  # (B, nbits) uint8 decoded bits (valid up to goodbits)
+    goodbits: jax.Array  # (B,) int32 — == nbits on success (fano.c:195)
+    metric: jax.Array  # (B,) int32 final path metric (fano.c:190)
+    cycles: jax.Array  # (B,) int32 forward-look count (fano.c:191)
+
+    @property
+    def success(self) -> jax.Array:
+        return self.goodbits == self.bits.shape[-1]
+
+
+def _parity(x: jax.Array) -> jax.Array:
+    """Parity of the set bits (encode.c:4-6) via population count."""
+    return (jax.lax.population_count(x.astype(jnp.uint32)) & 1).astype(jnp.int32)
+
+
+def _makesyms(enc: jax.Array, code: CodeSpec) -> jax.Array:
+    """Symbol pair for an encoder state: POLY1 in bit 1, POLY2 in bit 0.
+
+    Faithful to ``makesyms`` (fano.c:28-34) including its quirk of XORing
+    G1FLIP into bit 0 after the shift (harmless since every catalogued
+    code has G1FLIP == 0).
+    """
+    s1 = (_parity(enc & code.poly1) << 1) ^ code.g1flip
+    s2 = _parity(enc & code.poly2) ^ code.g2flip
+    return s1 | s2
+
+
+@dataclasses.dataclass(frozen=True)
+class FanoParams:
+    """Static search parameters (decode.c:66-73 defaults)."""
+
+    delta: int = 32  # threshold step (Fano_delta = 4 * Fano_scale)
+    maxcycles: int = 100  # forward-looks per bit before giving up
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nbits", "code", "params")
+)
+def fano_decode(
+    symbols: jax.Array,
+    mettab: jax.Array,
+    nbits: int,
+    encstate: int | jax.Array = 0,
+    tailbits: int | jax.Array = 0,
+    code: CodeSpec = DEFAULT_CODE,
+    params: FanoParams = FanoParams(),
+) -> FanoResult:
+    """Decode (B, 2*nbits) soft symbols with the Fano algorithm.
+
+    Args:
+      symbols: (B, 2*nbits) or (2*nbits,) uint8 offset-binary symbols.
+      mettab: (2, 256) int32 metric table from gen_met.
+      nbits: frame length including the K-1 tail.
+      encstate: starting encoder state (decode.c passes SYNCWORD & 0xffffff).
+      tailbits: known tail sequence forced at the last K-1 nodes.
+      code: static code spec.
+      params: delta / maxcycles.
+
+    Returns a FanoResult; ``goodbits == nbits`` signals success exactly as
+    the reference's return value does (fano.c:38,204).
+    """
+    if symbols.ndim == 1:
+        symbols = symbols[None, :]
+    B = symbols.shape[0]
+    N = nbits
+    k = code.k
+    tail_start = N - (k - 1)  # first node of the tail zone (fano.c:66)
+    delta = jnp.int32(params.delta)
+    max_total = jnp.int32(params.maxcycles * nbits)
+
+    mettab = jnp.asarray(mettab, jnp.int32)
+    syms = symbols.astype(jnp.int32).reshape(B, N, 2)
+    # 4-way branch metrics per node (fano.c:70-80)
+    m_s0 = mettab[:, syms[..., 0]]  # (2, B, N)
+    m_s1 = mettab[:, syms[..., 1]]
+    metrics4 = jnp.stack(
+        [
+            m_s0[0] + m_s1[0],
+            m_s0[0] + m_s1[1],
+            m_s0[1] + m_s1[0],
+            m_s0[1] + m_s1[1],
+        ],
+        axis=-1,
+    )  # (B, N, 4)
+
+    start_enc = jnp.broadcast_to(jnp.asarray(encstate, jnp.int32), (B,))
+    tailbits = jnp.broadcast_to(jnp.asarray(tailbits, jnp.int32), (B,))
+
+    bidx = jnp.arange(B)
+
+    def sort_branches(node_metrics, lsym):
+        """Order the 0/1 branch metrics best-first (fano.c:95-104)."""
+        m0 = node_metrics[bidx, lsym]
+        m1 = node_metrics[bidx, 3 ^ lsym]
+        better1 = m1 >= m0  # reference: m0 > m1 selects 0-branch first
+        tm0 = jnp.where(better1, m1, m0)
+        tm1 = jnp.where(better1, m0, m1)
+        return tm0, tm1, better1.astype(jnp.int32)
+
+    # ----- root node setup (fano.c:81-107) -----
+    enc0 = start_enc << 1
+    lsym0 = _makesyms(enc0, code)
+    tm0_r, tm1_r, bit_r = sort_branches(metrics4[:, 0], lsym0)
+
+    gamma = jnp.zeros((B, N), jnp.int32)
+    tm = jnp.zeros((B, N, 2), jnp.int32)
+    tm = tm.at[:, 0, 0].set(tm0_r)
+    tm = tm.at[:, 0, 1].set(tm1_r)
+    enc = jnp.zeros((B, N), jnp.int32)
+    enc = enc.at[:, 0].set(enc0 | bit_r)
+    ibr = jnp.zeros((B, N), jnp.int32)
+
+    class Carry(NamedTuple):
+        np_idx: jax.Array
+        t: jax.Array
+        cycles: jax.Array
+        mode: jax.Array  # 0 = forward look, 1 = backtracking
+        done: jax.Array
+        gamma: jax.Array
+        tm: jax.Array
+        enc: jax.Array
+        ibr: jax.Array
+
+    init = Carry(
+        np_idx=jnp.zeros((B,), jnp.int32),
+        t=jnp.zeros((B,), jnp.int32),
+        cycles=jnp.zeros((B,), jnp.int32),
+        mode=jnp.zeros((B,), jnp.int32),
+        done=jnp.zeros((B,), bool),
+        gamma=gamma,
+        tm=tm,
+        enc=enc,
+        ibr=ibr,
+    )
+
+    def cond(c: Carry):
+        return ~jnp.all(c.done)
+
+    def body(c: Carry) -> Carry:
+        np_idx, t = c.np_idx, c.t
+        fwd = (c.mode == 0) & ~c.done
+        bwd = (c.mode == 1) & ~c.done
+
+        g_np = c.gamma[bidx, np_idx]
+        tm_np = c.tm[bidx, np_idx, c.ibr[bidx, np_idx]]
+
+        # ---------- forward look (fano.c:117-166) ----------
+        ngamma = g_np + tm_np
+        ok = ngamma >= t
+        # threshold tightening on first visit (fano.c:121-130)
+        tighten = ok & (g_np < t + delta)
+        t_fwd = jnp.where(
+            tighten, t + delta * ((ngamma - t) // delta), t
+        )
+        at_last = np_idx == (N - 1)
+        newly_done = fwd & ok & at_last
+        advance = fwd & ok & ~at_last
+
+        new_np = np_idx + 1
+        prev_enc = c.enc[bidx, np_idx]
+        adv_enc = prev_enc << 1
+        lsym = _makesyms(adv_enc, code)
+        m4 = metrics4[bidx, jnp.clip(new_np, 0, N - 1)]  # (B, 4)
+
+        # tail zone (fano.c:141-147)
+        in_tail = new_np >= tail_start
+        tbit = (tailbits >> jnp.clip(N - new_np - 1, 0, 31)) & 1
+        tail_sel = (tbit * 3) ^ lsym
+        tail_tm0 = m4[bidx, tail_sel]
+
+        m0 = m4[bidx, lsym]
+        m1 = m4[bidx, 3 ^ lsym]
+        better1 = m1 >= m0
+        sort_tm0 = jnp.where(better1, m1, m0)
+        sort_tm1 = jnp.where(better1, m0, m1)
+        sort_bit = jnp.where(better1, 1, 0)
+
+        adv_tm0 = jnp.where(in_tail, tail_tm0, sort_tm0)
+        adv_tm1 = jnp.where(in_tail, tail_tm0, sort_tm1)
+        adv_bit = jnp.where(in_tail, tbit, sort_bit)
+
+        # threshold violated → start backtracking (fano.c:168)
+        to_bwd = fwd & ~ok
+
+        # ---------- one backtrack step (fano.c:169-188) ----------
+        g_prev = c.gamma[bidx, jnp.maximum(np_idx - 1, 0)]
+        cant_back = (np_idx == 0) | (g_prev < t)
+        relax = bwd & cant_back  # relax threshold (fano.c:171-179)
+        stepback = bwd & ~cant_back
+
+        back_np = np_idx - 1
+        # after backing up: try next-best branch if allowed (fano.c:182-186)
+        back_ibr = c.ibr[bidx, jnp.maximum(back_np, 0)]
+        can_try = (back_np < tail_start) & (back_ibr != 1)
+        toggle_next = stepback & can_try  # switch to 2nd branch, resume fwd
+        keep_back = stepback & ~can_try  # keep looking back
+
+        # relax: t -= delta; reset current node to best branch
+        cur_ibr = c.ibr[bidx, np_idx]
+        relax_flip = relax & (cur_ibr != 0)
+
+        # ---------- merge updates ----------
+        np_next = jnp.where(advance, new_np, jnp.where(stepback, back_np, np_idx))
+        t_next = jnp.where(fwd & ok, t_fwd, jnp.where(relax, t - delta, t))
+        mode_next = jnp.where(
+            to_bwd, 1, jnp.where(relax | toggle_next, 0, c.mode)
+        )
+        done_next = c.done | newly_done
+        # timeout: a forward element that has burned all cycles fails now
+        cycles_next = c.cycles + fwd.astype(jnp.int32)
+        timeout = ~done_next & (cycles_next >= max_total)
+        done_next = done_next | timeout
+
+        gamma_next = _mask_set(c.gamma, advance, new_np, ngamma)
+        tm_next = c.tm
+        tm_next = _mask_set(tm_next, advance, new_np, adv_tm0, comp=0)
+        tm_next = _mask_set(tm_next, advance, new_np, adv_tm1, comp=1)
+        ibr_next = _mask_set(c.ibr, advance, new_np, jnp.zeros((B,), jnp.int32))
+        enc_next = _mask_set(c.enc, advance, new_np, adv_enc | adv_bit)
+
+        # toggle_next: ibr[back_np] += 1, enc ^= 1
+        ibr_next = _mask_set(
+            ibr_next, toggle_next, jnp.maximum(back_np, 0),
+            back_ibr + 1,
+        )
+        enc_next = _mask_set(
+            enc_next, toggle_next, jnp.maximum(back_np, 0),
+            c.enc[bidx, jnp.maximum(back_np, 0)] ^ 1,
+        )
+        # relax_flip: ibr[np] = 0, enc[np] ^= 1
+        ibr_next = _mask_set(
+            ibr_next, relax_flip, np_idx, jnp.zeros((B,), jnp.int32)
+        )
+        enc_next = _mask_set(
+            enc_next, relax_flip, np_idx, c.enc[bidx, np_idx] ^ 1
+        )
+
+        return Carry(
+            np_idx=np_next,
+            t=t_next,
+            cycles=cycles_next,
+            mode=mode_next,
+            done=done_next,
+            gamma=gamma_next,
+            tm=tm_next,
+            enc=enc_next,
+            ibr=ibr_next,
+        )
+
+    def _mask_set(arr, mask, idx, val, comp=None):
+        """arr[b, idx[b]] = val[b] where mask[b]."""
+        if comp is None:
+            cur = arr[bidx, idx]
+            return arr.at[bidx, idx].set(jnp.where(mask, val, cur))
+        cur = arr[bidx, idx, comp]
+        return arr.at[bidx, idx, comp].set(jnp.where(mask, val, cur))
+
+    final = jax.lax.while_loop(cond, body, init)
+
+    bits = (final.enc & 1).astype(jnp.uint8)
+    goodbits = final.np_idx + 1
+    metric = final.gamma[bidx, final.np_idx]
+    return FanoResult(bits=bits, goodbits=goodbits, metric=metric, cycles=final.cycles)

@@ -1,0 +1,177 @@
+"""Fano decoder tests: oracle equivalence + behavioral round trips."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from isee3_decoder_tpu.config import MCQLI24, CodeSpec, parity
+from isee3_decoder_tpu.ops import encode_bits
+from isee3_decoder_tpu.ops.fano import FanoParams, fano_decode
+from isee3_decoder_tpu.utils import ebn0_to_noise, gen_met, simulate
+
+K7 = CodeSpec("TESTK7", 0o171, 0o133, 7, 0, 0)
+
+
+def oracle_fano(symbols, nbits, mettab, delta, maxcycles, encstate, tailbits, code):
+    """Step-by-step walk of the fano.c:38-205 search, as a test oracle.
+
+    Returns (bits, goodbits, metric, cycles) in the same convention as
+    fano_decode.
+    """
+    K = code.k
+
+    def makesyms(state):
+        r = (parity(state & code.poly1) << 1) ^ code.g1flip
+        return r | (parity(state & code.poly2) ^ code.g2flip)
+
+    N = nbits
+    tail = N - (K - 1)
+    met = [
+        (
+            mettab[0][symbols[2 * i]] + mettab[0][symbols[2 * i + 1]],
+            mettab[0][symbols[2 * i]] + mettab[1][symbols[2 * i + 1]],
+            mettab[1][symbols[2 * i]] + mettab[0][symbols[2 * i + 1]],
+            mettab[1][symbols[2 * i]] + mettab[1][symbols[2 * i + 1]],
+        )
+        for i in range(N)
+    ]
+    enc = [0] * N
+    gamma = [0] * N
+    tm = [[0, 0] for _ in range(N)]
+    ibr = [0] * N
+
+    enc[0] = encstate << 1
+    lsym = makesyms(enc[0])
+    m0, m1 = met[0][lsym], met[0][3 ^ lsym]
+    if m0 > m1:
+        tm[0] = [m0, m1]
+    else:
+        tm[0] = [m1, m0]
+        enc[0] |= 1
+    npi = 0
+    t = 0
+    gamma[0] = 0
+    maxtot = maxcycles * nbits
+    i = 0
+    for i in range(1, maxtot + 1):
+        ngamma = gamma[npi] + tm[npi][ibr[npi]]
+        if ngamma >= t:
+            if gamma[npi] < t + delta:
+                while ngamma >= t + delta:
+                    t += delta
+            if npi + 1 == N:
+                break
+            npi += 1
+            gamma[npi] = ngamma
+            enc[npi] = enc[npi - 1] << 1
+            lsym = makesyms(enc[npi])
+            if npi >= tail:
+                tailbit = (tailbits >> (N - npi - 1)) & 1
+                enc[npi] += tailbit
+                tm[npi][0] = met[npi][(tailbit | (tailbit << 1)) ^ lsym]
+            else:
+                m0, m1 = met[npi][lsym], met[npi][3 ^ lsym]
+                if m0 > m1:
+                    tm[npi] = [m0, m1]
+                else:
+                    tm[npi] = [m1, m0]
+                    enc[npi] += 1
+            ibr[npi] = 0
+            continue
+        while True:
+            if npi == 0 or gamma[npi - 1] < t:
+                t -= delta
+                if ibr[npi] != 0:
+                    ibr[npi] = 0
+                    enc[npi] ^= 1
+                break
+            npi -= 1
+            if npi < tail and ibr[npi] != 1:
+                ibr[npi] += 1
+                enc[npi] ^= 1
+                break
+    bits = np.array([e & 1 for e in enc], np.uint8)
+    return bits, npi + 1, gamma[npi], i
+
+
+def make_frame(rng, code, nbits, tailbits=0, start=0):
+    bits = rng.integers(0, 2, nbits, dtype=np.uint8)
+    for j in range(code.k - 1):
+        bits[nbits - 1 - j] = (tailbits >> j) & 1
+    syms, _ = encode_bits(jnp.asarray(bits), start, code)
+    return bits, np.asarray(syms)
+
+
+def test_fano_clean_roundtrip():
+    rng = np.random.default_rng(0)
+    nbits = 128
+    signal, noise = 80.0, ebn0_to_noise(80.0, 5.0)
+    mettab = gen_met(signal, noise, 0.5, 8.0)
+    bits, syms = make_frame(rng, K7, nbits)
+    soft = np.where(syms > 0, 200, 56).astype(np.uint8)
+    res = fano_decode(jnp.asarray(soft), jnp.asarray(mettab), nbits, 0, 0, K7)
+    assert int(res.goodbits[0]) == nbits
+    np.testing.assert_array_equal(np.asarray(res.bits[0]), bits)
+
+
+def test_fano_matches_oracle_noisy():
+    rng = np.random.default_rng(1)
+    nbits = 96
+    signal = 30.0
+    noise = ebn0_to_noise(signal, 3.0)
+    mettab = gen_met(signal, noise, 0.5, 8.0)
+    params = FanoParams(delta=32, maxcycles=50)
+    key = jax.random.PRNGKey(5)
+    frames = []
+    softs = []
+    for tr in range(6):
+        bits, syms = make_frame(rng, K7, nbits, tailbits=0x15, start=0x2A)
+        key, sub = jax.random.split(key)
+        soft = np.asarray(simulate(sub, jnp.asarray(syms), signal, noise))
+        frames.append(bits)
+        softs.append(soft)
+
+    batch = jnp.asarray(np.stack(softs))
+    res = fano_decode(batch, jnp.asarray(mettab), nbits, 0x2A, 0x15, K7, params)
+    for tr in range(6):
+        want_bits, want_good, want_metric, want_cycles = oracle_fano(
+            softs[tr], nbits, mettab, params.delta, params.maxcycles, 0x2A, 0x15, K7
+        )
+        assert int(res.goodbits[tr]) == want_good, f"trial {tr}"
+        assert int(res.cycles[tr]) == want_cycles, f"trial {tr}"
+        assert int(res.metric[tr]) == want_metric, f"trial {tr}"
+        got_bits = np.asarray(res.bits[tr])
+        np.testing.assert_array_equal(got_bits[:want_good], want_bits[:want_good])
+
+
+def test_fano_mcqli24_frames():
+    """MCQLI-24 frames at comfortable SNR decode with forced sync tail
+    (the decode.c:202-203 call pattern, scaled down to 256-bit frames)."""
+    rng = np.random.default_rng(2)
+    nbits = 256
+    signal, noise = 81.65, 57.74  # decode.c:128-131 amplitudes (Eb/N0=3dB)
+    mettab = gen_met(signal, noise, 0.5, 8.0)
+    start = 0x819FBE & MCQLI24.state_mask
+    tail = 0x819FBE & ((1 << (MCQLI24.k - 1)) - 1)
+    bits, syms = make_frame(rng, MCQLI24, nbits, tailbits=tail, start=start)
+    soft = simulate(jax.random.PRNGKey(9), jnp.asarray(syms), 81.65, 40.0)  # ~6 dB
+    res = fano_decode(soft, jnp.asarray(mettab), nbits, start, tail, MCQLI24)
+    assert int(res.goodbits[0]) == nbits
+    np.testing.assert_array_equal(np.asarray(res.bits[0]), bits)
+
+
+def test_fano_times_out_on_noise():
+    """Pure noise must hit the cycle cap and report failure, like the
+    reference's maxcycles timeout (fano.c:106,110)."""
+    rng = np.random.default_rng(3)
+    nbits = 64
+    mettab = gen_met(30.0, ebn0_to_noise(30.0, 3.0), 0.5, 8.0)
+    noise_syms = rng.integers(0, 256, 2 * nbits, dtype=np.uint8)
+    res = fano_decode(
+        jnp.asarray(noise_syms), jnp.asarray(mettab), nbits, 0, 0, K7,
+        FanoParams(delta=32, maxcycles=4),
+    )
+    assert int(res.cycles[0]) >= 4 * nbits
+    # (a lucky noise frame could "decode", but goodbits is whatever the
+    # walk reached — just check the walk terminated sanely)
+    assert 1 <= int(res.goodbits[0]) <= nbits
