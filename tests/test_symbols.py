@@ -1,0 +1,165 @@
+"""Symbol demodulator tests against a direct sample-walk oracle."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from isee3_decoder_tpu.ops import symbols as sym
+
+
+def oracle_trial_demod(samples, firstsample, symbolsamples, nsymbols, symbolclocks, gain):
+    """Sample-by-sample walk of trial_demod (symdemod.c:202-256)."""
+    halfclock = (0.5 / symbolclocks) * symbolsamples
+    ind = firstsample
+    scount = ind + halfclock
+    scount_int = int(np.rint(scount))
+    out = []
+    integrators = []
+    energy = 0.0
+    for i in range(nsymbols):
+        integ = 0
+        for j in range(symbolclocks):
+            while ind < scount_int:
+                integ -= samples[ind]
+                ind += 1
+            scount += halfclock
+            scount_int = int(np.rint(scount))
+            while ind < scount_int:
+                integ += samples[ind]
+                ind += 1
+            scount += halfclock
+            scount_int = int(np.rint(scount))
+        integrators.append(integ)
+        if gain != 0:
+            scaled = gain * integ + 128
+            scaled = min(max(scaled, 0), 255)
+            out.append(int(scaled))
+        energy += float(integ) * integ
+    return np.array(integrators), np.array(out, np.uint8), energy / nsymbols
+
+
+def manchester_signal(rng, nsymbols, symbolsamples, amp=1000, clocks=1):
+    bits = rng.integers(0, 2, nsymbols)
+    n = int(np.ceil((nsymbols + 4) * symbolsamples)) + 64
+    x = np.zeros(n, np.int16)
+    half = symbolsamples / (2 * clocks)
+    for i, b in enumerate(bits):
+        lvl = amp if b else -amp
+        for c in range(clocks):
+            s0 = int(np.rint(i * symbolsamples + 2 * c * half))
+            s1 = int(np.rint(i * symbolsamples + (2 * c + 1) * half))
+            s2 = int(np.rint(i * symbolsamples + (2 * c + 2) * half))
+            x[s0:s1] = -lvl
+            x[s1:s2] = lvl
+    return bits, x
+
+
+def test_integrate_matches_oracle():
+    rng = np.random.default_rng(0)
+    symbolsamples = 244.089  # 250000 / 1024.3-ish, fractional
+    nsymbols = 40
+    clocks = 1
+    n = int((nsymbols + 2) * symbolsamples) + 200
+    samples = rng.integers(-3000, 3000, n).astype(np.int16)
+    firstsample = 37
+    half = (0.5 / clocks) * symbolsamples
+    res = sym.integrate_symbols(
+        jnp.asarray(samples), firstsample, half, nsymbols, clocks, gain=0.013
+    )
+    want_int, want_soft, want_energy = oracle_trial_demod(
+        samples.astype(np.int64), firstsample, symbolsamples, nsymbols, clocks, 0.013
+    )
+    np.testing.assert_array_equal(np.asarray(res.integrators)[0], want_int)
+    np.testing.assert_array_equal(np.asarray(res.soft)[0], want_soft)
+    assert abs(float(res.energy[0]) - want_energy) < 1e-6
+
+
+def test_integrate_subcarrier_mode():
+    """Symbolclocks > 1 (low-speed 1024 Hz subcarrier modes, CHANGES:35)."""
+    rng = np.random.default_rng(1)
+    symbolsamples = 1953.125  # 250000/128: 8 clocks per symbol at 64 bps
+    nsymbols = 6
+    clocks = 8
+    n = int((nsymbols + 2) * symbolsamples) + 100
+    samples = rng.integers(-2000, 2000, n).astype(np.int16)
+    half = (0.5 / clocks) * symbolsamples
+    res = sym.integrate_symbols(jnp.asarray(samples), 11, half, nsymbols, clocks, 0.0)
+    want_int, _, want_energy = oracle_trial_demod(
+        samples.astype(np.int64), 11, symbolsamples, nsymbols, clocks, 0
+    )
+    np.testing.assert_array_equal(np.asarray(res.integrators)[0], want_int)
+
+
+def test_timesearch_finds_phase():
+    rng = np.random.default_rng(2)
+    symbolsamples = 244.140625  # 250000/1024
+    nsymbols = 64
+    bits, clean = manchester_signal(rng, nsymbols + 8, symbolsamples)
+    noisy = (clean + rng.normal(0, 200, clean.shape)).astype(np.int16)
+
+    true_shift = 77
+    shifted = np.concatenate([np.zeros(true_shift, np.int16), noisy])
+    half = 0.5 * symbolsamples
+    noff = 2 * int(symbolsamples / 2) + 1
+    firstsample = int(symbolsamples / 2) + true_shift + 30  # misaligned start
+    res = sym.timesearch(
+        jnp.asarray(shifted), firstsample, half, nsymbols, 1, noff
+    )
+    # Best offset should realign us to a symbol boundary: (firstsample +
+    # symphase - true_shift) mod symbolsamples ≈ 0
+    resid = (firstsample + int(res.symphase[0]) - true_shift) % symbolsamples
+    resid = min(resid, symbolsamples - resid)
+    assert resid < 3, (int(res.symphase[0]), resid)
+
+    # And demodulating at that phase recovers the Manchester bits
+    start = firstsample + int(res.symphase[0])
+    out = sym.integrate_symbols(jnp.asarray(shifted), start, half, nsymbols, 1, 0.0)
+    integ = np.asarray(out.integrators)[0]
+    first_bit = int(np.rint((start - true_shift) / symbolsamples))
+    got_bits = (integ > 0).astype(int)
+    np.testing.assert_array_equal(
+        got_bits, bits[first_bit : first_bit + nsymbols]
+    )
+
+
+def test_timesearch_matches_bruteforce_energy():
+    """Energies per offset must equal direct per-offset integration."""
+    rng = np.random.default_rng(3)
+    symbolsamples = 52.7
+    nsymbols = 20
+    n = int((nsymbols + 4) * symbolsamples) + 120
+    samples = rng.integers(-500, 500, n).astype(np.int16)
+    half = 0.5 * symbolsamples
+    noff = 2 * int(symbolsamples / 2) + 1
+    firstsample = 60
+    res = sym.timesearch(jnp.asarray(samples), firstsample, half, nsymbols, 1, noff)
+
+    # Oracle mirrors the C timesearch: switchpoints are rounded *relative*
+    # positions (scount starts at halfclock with no firstsample term,
+    # symdemod.c:269-283), then shifted by firstsample + offset.
+    def relative_energy(off):
+        scount = half
+        sp = []
+        for _ in range(2 * nsymbols):
+            sp.append(int(np.rint(scount)))
+            scount += half
+        s = samples.astype(np.int64)
+        energy = 0.0
+        ind = firstsample + off
+        for i in range(nsymbols):
+            integ = 0
+            for j, sign in ((2 * i, -1), (2 * i + 1, +1)):
+                stop = sp[j] + firstsample + off
+                while ind < stop:
+                    integ += sign * s[ind]
+                    ind += 1
+            energy += float(integ) * integ
+        return energy / nsymbols
+
+    best_e = -1.0
+    best_o = None
+    for off in range(-(noff // 2), noff - noff // 2):
+        e = relative_energy(off)
+        if e > best_e:
+            best_e, best_o = e, off
+    assert int(res.symphase[0]) == best_o
+    assert abs(float(res.maxenergy[0]) - best_e) < 1e-6
