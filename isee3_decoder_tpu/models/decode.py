@@ -1,0 +1,210 @@
+"""decode stage model: frame sync + hybrid Fano/Viterbi decoding.
+
+Capability parity with ``decode.c:42-289``: a per-channel lock state
+machine — when unlocked, a 34-symbol soft sync correlation over a full
+frame of positions finds the frame boundary; each frame is then tried
+with the Fano decoder, falling back to Viterbi exactly under the
+reference policy (decode.c:209-214):
+
+  Viterbi runs iff it is enabled AND (Fano is disabled OR (Fano failed
+  AND (the previous frame decoded OR -p persistent))).
+
+A frame is accepted (lock=1) iff its last 5 decoded bytes equal the
+syncword (decode.c:237-247).
+
+TPU-native design: the decoder runs *batched across channels* — one Fano
+call decodes every channel's frame in lockstep, and the (rare, expensive)
+Viterbi fallback runs on just the subset of channels that need it.  The
+stream walk itself is host-driven (frame boundaries are data-dependent),
+but every kernel invoked is jitted device code.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from isee3_decoder_tpu.config import (
+    DEFAULT_CODE,
+    FRAMEBITS,
+    FRAMESYMBOLS,
+    SYNCBITS,
+    SYNCWORD,
+    SYNC_STATE,
+    CodeSpec,
+)
+from isee3_decoder_tpu.ops import viterbi
+from isee3_decoder_tpu.ops.encode import bits_to_bytes
+from isee3_decoder_tpu.ops.fano import FanoParams, fano_decode
+from isee3_decoder_tpu.ops.syncword import find_sync, verify_frame
+from isee3_decoder_tpu.utils.metrics import decoder_amplitudes, gen_met
+
+DECODER_NONE, DECODER_VITERBI, DECODER_FANO = 0, 1, 2
+
+
+@dataclasses.dataclass(frozen=True)
+class DecodeConfig:
+    """Static decode configuration (decode.c:65-73 defaults)."""
+
+    fano_enabled: bool = True
+    viterbi_enabled: bool = True
+    persistent: bool = False  # -p
+    fano_scale: float = 8.0
+    fano_delta: int = 32  # 4 * scale
+    fano_maxcycles: int = 100
+    code: CodeSpec = DEFAULT_CODE
+
+    def mettab(self) -> np.ndarray:
+        """Fano metric table assuming threshold operation at Eb/N0=3 dB
+        with symdemod's amplitude-100 normalization (decode.c:120-135)."""
+        sig, noise = decoder_amplitudes(100.0, 1.0)
+        return gen_met(sig, noise, 0.5, self.fano_scale)
+
+    def fano_params(self) -> FanoParams:
+        return FanoParams(delta=self.fano_delta, maxcycles=self.fano_maxcycles)
+
+
+class FrameRecord(NamedTuple):
+    """One decoded frame across all channels."""
+
+    data: np.ndarray  # (B, FRAMEBITS//8) uint8 frame bytes
+    good: np.ndarray  # (B,) bool — syncword verified (lock)
+    decoder: np.ndarray  # (B,) int — NONE/VITERBI/FANO
+    start_symbol: np.ndarray  # (B,) int64 absolute symbol index of frame start
+    fano_cycles: np.ndarray  # (B,) int32
+
+
+class DecodeStreamState:
+    """Per-channel stream walk state (host side)."""
+
+    def __init__(self, batch: int):
+        self.batch = batch
+        self.lock = np.zeros(batch, bool)
+        self.pos = np.zeros(batch, np.int64)  # absolute index of buffer start
+        self.sync_start = np.zeros(batch, np.int64)
+
+
+def _gather_windows(symbols: np.ndarray, starts: np.ndarray, length: int) -> np.ndarray:
+    """(B, length) windows at per-channel absolute starts."""
+    idx = starts[:, None] + np.arange(length)[None, :]
+    return np.take_along_axis(symbols, idx.astype(np.int64), axis=-1)
+
+
+def decode_stream(
+    symbols: np.ndarray,
+    cfg: DecodeConfig = DecodeConfig(),
+    state: DecodeStreamState | None = None,
+    max_frames: int | None = None,
+) -> tuple[list[FrameRecord], DecodeStreamState]:
+    """Walk a (B, S) soft-symbol stream, emitting decoded frames.
+
+    Mirrors the decode.c main loop: sync re-search when unlocked
+    (decode.c:162-193), hybrid decode, verification, purge
+    (decode.c:269-281).  The state can be carried across calls for true
+    streaming.
+    """
+    if symbols.ndim == 1:
+        symbols = symbols[None, :]
+    symbols = np.ascontiguousarray(symbols)
+    B, S = symbols.shape
+    if state is None:
+        state = DecodeStreamState(B)
+    mettab = jnp.asarray(cfg.mettab())
+    params = cfg.fano_params()
+    k = cfg.code.k
+    tail = SYNCWORD & ((1 << (k - 1)) - 1)
+
+    records: list[FrameRecord] = []
+    while max_frames is None or len(records) < max_frames:
+        # Sync search for unlocked channels (a frame of positions, then a
+        # frame+sync of symbols past the found start must be available).
+        need = state.pos + (0 if state.lock.all() else 0) + FRAMESYMBOLS + SYNCBITS
+        if (need > S).any():
+            break
+        if not state.lock.all():
+            search_wins = _gather_windows(
+                symbols, state.pos, FRAMESYMBOLS + SYNCBITS
+            )
+            ss, _ = find_sync(jnp.asarray(search_wins), FRAMESYMBOLS, cfg.code)
+            ss = np.asarray(ss, np.int64)
+            state.sync_start = np.where(state.lock, 0, ss)
+        else:
+            state.sync_start[:] = 0
+
+        frame_start = state.pos + state.sync_start + SYNCBITS
+        if (frame_start + FRAMESYMBOLS > S).any():
+            break
+        frame_syms = _gather_windows(symbols, frame_start, FRAMESYMBOLS)
+        fsyms = jnp.asarray(frame_syms)
+
+        decoder = np.full(B, DECODER_NONE, np.int32)
+        bits = np.zeros((B, FRAMEBITS), np.uint8)
+        decode_ok = np.zeros(B, bool)
+        cycles = np.zeros(B, np.int32)
+
+        if cfg.fano_enabled:
+            res = fano_decode(
+                fsyms, mettab, FRAMEBITS, SYNC_STATE, tail, cfg.code, params
+            )
+            decoder[:] = DECODER_FANO
+            fano_ok = np.asarray(res.goodbits) == FRAMEBITS
+            bits = np.asarray(res.bits)
+            decode_ok = fano_ok
+            cycles = np.asarray(res.cycles)
+
+        if cfg.viterbi_enabled:
+            # decode.c:209-214 fallback policy
+            if not cfg.fano_enabled:
+                need_vit = np.ones(B, bool)
+            else:
+                need_vit = (cfg.persistent | state.lock) & ~decode_ok
+            if need_vit.any():
+                sub = np.nonzero(need_vit)[0]
+                vbits = viterbi.decode_frame(
+                    fsyms[sub], FRAMEBITS, SYNC_STATE, SYNC_STATE, cfg.code
+                )
+                bits[sub] = np.asarray(vbits)
+                decoder[sub] = DECODER_VITERBI
+                decode_ok[sub] = True  # Viterbi always returns a frame
+
+        good = decode_ok & np.asarray(verify_frame(jnp.asarray(bits)))
+        state.lock = good.copy()
+
+        records.append(
+            FrameRecord(
+                data=np.asarray(bits_to_bytes(jnp.asarray(bits))),
+                good=good,
+                decoder=decoder,
+                start_symbol=frame_start.copy(),
+                fano_cycles=cycles,
+            )
+        )
+        # Purge the decoded frame (decode.c:269-281): the buffer now
+        # starts at the sync sequence of the frame just decoded.
+        state.pos = state.pos + state.sync_start + FRAMESYMBOLS
+        state.sync_start[:] = 0
+    return records, state
+
+
+def format_frame(rec: FrameRecord, channel: int, frame_no: int, symrate: float = 1024.0) -> str:
+    """Pretty-print one channel's frame like decode.c:249-265."""
+    from isee3_decoder_tpu.utils.timeformat import format_hms
+
+    name = {DECODER_VITERBI: "Viterbi", DECODER_FANO: "Fano"}.get(
+        int(rec.decoder[channel]), "None"
+    )
+    start = int(rec.start_symbol[channel])
+    head = (
+        f"Frame {frame_no:,} at symbol {start:,} "
+        f"({format_hms(start / symrate)}) with {name} "
+        f"{'' if rec.good[channel] else '(bad)'}"
+    )
+    body = []
+    data = rec.data[channel]
+    for i in range(0, len(data), 16):
+        body.append(" ".join(f"{b:02x}" for b in data[i : i + 16]))
+    return head + "\n" + "\n".join(body) + "\n"

@@ -1,0 +1,182 @@
+"""symdemod stage model: windowed symbol-timing tracking over a stream.
+
+The reference's main loop (symdemod.c:96-195) processes one `window`
+seconds of baseband per iteration: full timing search, optional clock
+hill-climb, then the real demodulation with gain = 100/sqrt(maxenergy).
+
+TPU-native design: the whole loop is one jitted ``lax.scan`` over windows
+— the prefix sum of the entire block is computed once, each window is
+just a set of gathers at carry-dependent edges, and the carry is the
+per-channel ``firstsample`` timing phase.  Clock tracking (-t) is a
+host-driven variant (``symdemod_tracked``) because it mutates the static
+samples-per-symbol value the edge tables are built from.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from isee3_decoder_tpu.ops import symbols as sym_ops
+from isee3_decoder_tpu.ops.symbols import SymConfig
+
+
+class SymWindowOut(NamedTuple):
+    soft: jax.Array  # (B, nsymbols) uint8 soft decisions
+    symphase: jax.Array  # (B,) timing adjustment chosen
+    energy: jax.Array  # (B,) max mean energy per symbol
+    firstsample: jax.Array  # (B,) absolute window start used
+
+
+def initial_firstsample(cfg: SymConfig) -> int:
+    """firstsample = Symbolsamples/2 (symdemod.c:94, int truncation)."""
+    return int(cfg.symbolsamples / 2)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "nwindows"))
+def symdemod_scan(
+    samples: jax.Array,
+    cfg: SymConfig,
+    nwindows: int,
+    firstsample0: jax.Array | int | None = None,
+) -> tuple[jax.Array, SymWindowOut]:
+    """Demodulate ``nwindows`` windows from (B, L) baseband samples.
+
+    Returns (final_firstsample, outputs) with outputs stacked over the
+    window axis: soft is (nwindows, B, nsymbols).
+
+    The caller must provide enough samples: L >= firstsample0 +
+    nwindows * window * samprate + a symbol of slack for the ± timing
+    search (the streaming CLI driver handles buffering).
+    """
+    if samples.ndim == 1:
+        samples = samples[None, :]
+    B = samples.shape[0]
+    nsym = cfg.nsymbols
+    if firstsample0 is None:
+        firstsample0 = initial_firstsample(cfg)
+    first = jnp.broadcast_to(jnp.asarray(firstsample0, jnp.int32), (B,))
+
+    csum = sym_ops.prefix_sum(samples)
+    ffloat = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+    def window_step(first, _):
+        ts = sym_ops.timesearch_from_csum(
+            csum, first, cfg.halfclock, nsym, cfg.symbolclocks, cfg.noffsets
+        )
+        first = first + ts.symphase
+        integ = sym_ops.integrate_from_csum(
+            csum, first, cfg.halfclock, nsym, cfg.symbolclocks
+        )
+        gain = 100.0 / jnp.sqrt(ts.maxenergy)  # symdemod.c:190 "Hack"
+        soft, _ = sym_ops.finish_demod(integ, gain)
+        out = SymWindowOut(
+            soft=soft, symphase=ts.symphase, energy=ts.maxenergy, firstsample=first
+        )
+        # firstsample += nsymbols * Symbolsamples with C int truncation
+        # of the sum (symdemod.c:192)
+        first = jnp.trunc(
+            first.astype(ffloat) + np.float64(nsym * cfg.symbolsamples).item()
+        ).astype(jnp.int32)
+        return first, out
+
+    return jax.lax.scan(window_step, first, None, length=nwindows)
+
+
+def window_samples(cfg: SymConfig) -> int:
+    """Samples consumed per window."""
+    return int(cfg.window * cfg.samprate)
+
+
+def symdemod_tracked(
+    samples: np.ndarray,
+    cfg: SymConfig,
+    nwindows: int,
+) -> tuple[np.ndarray, list[dict]]:
+    """Host-driven variant with clock tracking (-t, symdemod.c:133-174).
+
+    Hill-climbs (symbolsamples ± clock_incr, phase ± 1 sample) on total
+    demodulated energy until two consecutive no-improvements, updating the
+    clock estimate across windows.  Heavy math stays jitted; the search
+    control runs on host because symbolsamples is a static edge-table
+    parameter.
+
+    Returns (soft_symbols (B, nwindows*nsymbols), per-window info dicts).
+    """
+    samples = jnp.asarray(samples)
+    if samples.ndim == 1:
+        samples = samples[None, :]
+    B = samples.shape[0]
+    symbolsamples = cfg.symbolsamples
+    first = np.full((B,), initial_firstsample(cfg), np.int64)
+    csum = sym_ops.prefix_sum(samples)
+
+    def energy_at(first, symsamp):
+        nsym = int(cfg.window * cfg.samprate / symsamp)
+        half = (0.5 / cfg.symbolclocks) * symsamp
+        integ = sym_ops.integrate_from_csum(
+            csum, jnp.asarray(first, jnp.int32), half, nsym, cfg.symbolclocks
+        )
+        e = (np.asarray(integ, np.float64) ** 2).mean(axis=-1)
+        return e
+
+    outs = []
+    infos = []
+    for w in range(nwindows):
+        nsym = int(cfg.window * cfg.samprate / symbolsamples)
+        half = (0.5 / cfg.symbolclocks) * symbolsamples
+        noff = 2 * int(symbolsamples / 2) + 1
+        ts = sym_ops.timesearch_from_csum(
+            csum, jnp.asarray(first, jnp.int32), half, nsym, cfg.symbolclocks, noff
+        )
+        first = first + np.asarray(ts.symphase, np.int64)
+        maxenergy = np.asarray(ts.maxenergy, np.float64)
+
+        clock_incr = 0.5 * symbolsamples / (cfg.window * cfg.samprate)
+        phase_incr = 1
+        nochange = 0
+        while nochange < 2:
+            e = energy_at(first, symbolsamples + clock_incr)
+            if (e > maxenergy).all():
+                maxenergy, symbolsamples, nochange = e, symbolsamples + clock_incr, 0
+                continue
+            e = energy_at(first, symbolsamples - clock_incr)
+            if (e > maxenergy).all():
+                maxenergy, symbolsamples = e, symbolsamples - clock_incr
+                clock_incr, nochange = -clock_incr, 0
+                continue
+            nochange += 1
+            e = energy_at(first + phase_incr, symbolsamples)
+            if (e > maxenergy).all():
+                maxenergy, first, nochange = e, first + phase_incr, 0
+                continue
+            e = energy_at(first - phase_incr, symbolsamples)
+            if (e > maxenergy).all():
+                maxenergy, first = e, first + phase_incr
+                phase_incr, nochange = -phase_incr, 0
+                continue
+            nochange += 1
+
+        half = (0.5 / cfg.symbolclocks) * symbolsamples
+        integ = sym_ops.integrate_from_csum(
+            csum, jnp.asarray(first, jnp.int32), half, nsym, cfg.symbolclocks
+        )
+        gain = 100.0 / np.sqrt(maxenergy)
+        soft, _ = sym_ops.finish_demod(integ, jnp.asarray(gain))
+        outs.append(np.asarray(soft))
+        infos.append(
+            dict(
+                window=w,
+                symbolsamples=symbolsamples,
+                symrate=cfg.samprate / symbolsamples,
+                firstsample=first.copy(),
+                energy=maxenergy,
+            )
+        )
+        first = (first + nsym * symbolsamples).astype(np.int64)
+    return np.concatenate(outs, axis=-1), infos

@@ -1,0 +1,101 @@
+"""End-to-end pipeline tests: synthetic IQ → decoded frames.
+
+The round-trip the reference operators ran on real recordings
+(README.txt:9-14), on reproducible synthetic signals instead.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+import pytest
+
+from isee3_decoder_tpu.config import FRAMEBITS, SYNCWORD
+from isee3_decoder_tpu.models.decode import (
+    DECODER_FANO,
+    DecodeConfig,
+    decode_stream,
+)
+from isee3_decoder_tpu.models.pipeline import PipelineConfig, run_pipeline
+from isee3_decoder_tpu.ops.carrier import PMConfig
+from isee3_decoder_tpu.ops.symbols import SymConfig
+from isee3_decoder_tpu.utils import testsignal
+from isee3_decoder_tpu.utils.sim import simulate
+import jax
+
+
+def test_end_to_end_single_channel():
+    """One 512 bps channel at high SNR: pmdemod → symdemod → decode
+    recovers the transmitted frames bit-exactly via Fano."""
+    rng = np.random.default_rng(42)
+    frames = testsignal.random_frames(rng, 5)
+    iq = testsignal.synthesize_iq(
+        frames,
+        samprate=250_000.0,
+        symrate=1024.0,
+        carrier=20_000.0,
+        noise_std=800.0,
+        lead_symbols=301,
+        rng=rng,
+    )
+    cfg = PipelineConfig(
+        pm=PMConfig(samprate=250_000.0, binsize=4.0, search_width=100.0),
+        sym=SymConfig(samprate=250_000.0, symrate=1024.0),
+        decode=DecodeConfig(),
+    )
+    res = run_pipeline(iq, cfg)
+    assert res.cn0[:, 0].min() > 25  # comfortably above the 21 dB-Hz lock threshold
+    good_frames = [r for r in res.frames if r.good[0]]
+    assert len(good_frames) >= 2, f"got {len(res.frames)} frames, good={[(r.good[0], r.decoder[0]) for r in res.frames]}"
+    decoded = [r.data[0] for r in good_frames]
+    # Which transmitted frames were recovered (allow the first to be
+    # missed if sync landed mid-stream)
+    matched = 0
+    for d in decoded:
+        for f in frames:
+            if np.array_equal(d, f):
+                matched += 1
+                break
+    assert matched == len(decoded) and matched >= 2
+    assert all(int(r.decoder[0]) == DECODER_FANO for r in good_frames)
+
+
+def test_decode_stream_pure_symbols():
+    """decode stage alone on clean simulated soft symbols, two channels
+    with different sync offsets."""
+    rng = np.random.default_rng(7)
+    frames = testsignal.random_frames(rng, 3)
+    syms = testsignal.frames_to_symbols(frames)
+    soft = np.where(syms > 0, 228, 28).astype(np.uint8)
+
+    offs = [17, 230]
+    maxlen = len(soft) + max(offs)
+    streams = []
+    for o in offs:
+        lead = np.full(o, 128, np.uint8)
+        tail = np.full(maxlen - o - len(soft), 128, np.uint8)
+        streams.append(np.concatenate([lead, soft, tail]))
+    stream = np.stack(streams)
+
+    recs, state = decode_stream(stream, DecodeConfig())
+    assert len(recs) >= 2
+    for ch in range(2):
+        goods = [r for r in recs if r.good[ch]]
+        assert len(goods) >= 1
+        for r in goods:
+            assert any(np.array_equal(r.data[ch], f) for f in frames)
+
+
+def test_decode_stream_noisy_channel_sim():
+    """Symbols through the 8-bit AWGN channel at Eb/N0≈5 dB decode via
+    Fano with the production metric table."""
+    rng = np.random.default_rng(8)
+    frames = testsignal.random_frames(rng, 2)
+    syms = testsignal.frames_to_symbols(frames)
+    # symdemod normalizes amplitude to 100; Eb/N0 5dB → Es/N0 2dB
+    sig, noise = 81.65, 45.0
+    soft = np.asarray(simulate(jax.random.PRNGKey(1), jnp.asarray(syms), sig, noise))
+    recs, _ = decode_stream(soft[None, :], DecodeConfig())
+    goods = [r for r in recs if r.good[0]]
+    assert len(goods) >= 1
+    for r in goods:
+        assert any(np.array_equal(r.data[0], f) for f in frames)
