@@ -74,12 +74,14 @@ def verify_frame(frame_bits: jax.Array) -> jax.Array:
     """True when the decoded frame ends in the 5-byte syncword
     (decode.c:237-247).
 
-    frame_bits: (B, FRAMEBITS) 0/1 bits.
+    frame_bits: (B, FRAMEBITS) 0/1 bits.  The 40-bit word is compared as
+    two 20-bit halves so this works without 64-bit ints enabled.
     """
-    last40 = frame_bits[..., -40:].astype(jnp.int64)
-    weights = jnp.int64(1) << jnp.arange(39, -1, -1, dtype=jnp.int64)
-    word = (last40 * weights).sum(axis=-1)
-    return word == SYNCWORD
+    last40 = frame_bits[..., -40:].astype(jnp.int32)
+    weights = jnp.int32(1) << jnp.arange(19, -1, -1, dtype=jnp.int32)
+    hi = (last40[..., :20] * weights).sum(axis=-1)
+    lo = (last40[..., 20:] * weights).sum(axis=-1)
+    return (hi == (SYNCWORD >> 20)) & (lo == (SYNCWORD & 0xFFFFF))
 
 
 @jax.jit

@@ -1,0 +1,144 @@
+"""CLI pipeline (real processes over pipes) and legacy-tool tests."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from isee3_decoder_tpu.config import FRAMEBITS, SYNCWORD
+from isee3_decoder_tpu.models import legacy
+from isee3_decoder_tpu.utils import testsignal
+
+ENV = dict(os.environ, ISEE3_CPU="1", JAX_PLATFORMS="cpu")
+
+
+def test_qdecode_and_framer_roundtrip():
+    rng = np.random.default_rng(0)
+    frames = testsignal.random_frames(rng, 2)
+    syms = testsignal.frames_to_symbols(frames)
+    soft = np.where(syms > 0, 200, 56).astype(np.uint8)
+    bits = np.asarray(legacy.qdecode_stream(jnp.asarray(soft)))[0]
+    res = legacy.frame_bits(bits)
+    assert len(res.frames) >= 1
+    for fr in res.frames:
+        assert any(np.array_equal(fr, f) for f in frames)
+
+
+def test_auto_phase_flip_detects_offset():
+    rng = np.random.default_rng(1)
+    frames = testsignal.random_frames(rng, 2)
+    syms = testsignal.frames_to_symbols(frames)
+    soft = np.where(syms > 0, 200, 56).astype(np.uint8)
+    aligned, flip0 = legacy.auto_phase_flip(soft[None, :])
+    assert flip0 == 0
+    mis = np.concatenate([[128], soft]).astype(np.uint8)
+    aligned, flip1 = legacy.auto_phase_flip(mis[None, :])
+    assert flip1 == 1
+    bits = np.asarray(legacy.qdecode_stream(jnp.asarray(aligned)))[0]
+    res = legacy.frame_bits(bits)
+    assert len(res.frames) >= 1
+
+
+def test_vdecode_stream_small():
+    """Streaming vdecode on a short clean stream recovers the data and
+    reports zero symbol errors."""
+    rng = np.random.default_rng(2)
+    from isee3_decoder_tpu.config import CodeSpec
+    from isee3_decoder_tpu.ops import encode_bits
+
+    code = CodeSpec("TESTK7", 0o171, 0o133, 7, 0, 0)
+    nbits, delay = 120, 30
+    bits = rng.integers(0, 2, nbits, dtype=np.uint8)
+    syms, _ = encode_bits(jnp.asarray(bits), 0, code)
+    soft = np.where(np.asarray(syms) > 0, 200, 56).astype(np.uint8)
+    res = legacy.vdecode_stream(jnp.asarray(soft), delay, code)
+    out = res.bits[0]
+    lag = code.k - 2
+    np.testing.assert_array_equal(out[lag:], bits[: len(out) - lag])
+    assert int(res.symbol_errors[0]) == 0
+
+
+def test_icesync_frames_synthetic_baseband():
+    """icesync on synthetic Manchester baseband finds syncs and decodes."""
+    rng = np.random.default_rng(3)
+    frames = testsignal.random_frames(rng, 3)
+    syms = testsignal.frames_to_symbols(frames)
+    samprate, symrate = 16384.0, 1024.0
+    symbolsamples = samprate / symrate
+    wave = testsignal.manchester_waveform(syms, symbolsamples)
+    samples = (60.0 * wave + rng.normal(0, 8, len(wave))).astype(np.int64)
+    out = legacy.icesync_frames(
+        samples, samprate=samprate, symrate=symrate, max_frames=2
+    )
+    assert len(out) >= 1
+    matched = sum(
+        1 for fr in out if any(np.array_equal(fr.data, f) for f in frames)
+    )
+    assert matched >= 1
+    assert out[0].symbol_errors < 50
+
+
+def test_ebn0_estimator():
+    # erfc^-1 roundtrip: SER of BPSK at amplitude ratio r is 0.5*erfc(r)
+    import math
+
+    for true_esn0_amp in (1.0, 1.5):
+        ser = 0.5 * math.erfc(true_esn0_amp)
+        est = legacy.ebn0_from_symbol_errors(int(ser * 1e6), int(1e6))
+        want = 10 * math.log10(2 * true_esn0_amp**2)
+        assert abs(est - want) < 0.05
+    assert legacy.ebn0_from_symbol_errors(0, 2048) is None
+
+
+@pytest.mark.skipif(os.environ.get("SKIP_CLI") == "1", reason="slow")
+def test_cli_three_stage_pipeline(tmp_path):
+    """The actual ./pmdemod input | ./symdemod | ./decode contract, run as
+    real processes (README.txt:9)."""
+    rng = np.random.default_rng(4)
+    frames = testsignal.random_frames(rng, 5)
+    iq = testsignal.synthesize_iq(
+        frames,
+        samprate=250_000.0,
+        symrate=1024.0,
+        carrier=20_000.0,
+        noise_std=500.0,
+        lead_symbols=50,
+        rng=rng,
+    )
+    path = tmp_path / "input.iq"
+    testsignal.iq_to_int16(iq).tofile(path)
+
+    pm = subprocess.Popen(
+        [sys.executable, "-m", "isee3_decoder_tpu.cli.pmdemod", "-q", "-W", "100", str(path)],
+        stdout=subprocess.PIPE, env=ENV,
+    )
+    sd = subprocess.Popen(
+        [sys.executable, "-m", "isee3_decoder_tpu.cli.symdemod", "-q", "-c", "1024."],
+        stdin=pm.stdout, stdout=subprocess.PIPE, env=ENV,
+    )
+    dc = subprocess.Popen(
+        [sys.executable, "-m", "isee3_decoder_tpu.cli.decode"],
+        stdin=sd.stdout, stdout=subprocess.PIPE, env=ENV,
+    )
+    pm.stdout.close()
+    sd.stdout.close()
+    out, _ = dc.communicate(timeout=600)
+    text = out.decode()
+    assert "Fano enabled" in text
+    # Collect hex frames and match against transmitted ones
+    hex_frames = []
+    cur = []
+    for line in text.splitlines():
+        if line.startswith("Frame "):
+            cur = []
+        elif line.strip() and all(len(tok) == 2 for tok in line.split()):
+            cur.extend(int(tok, 16) for tok in line.split())
+            if len(cur) == FRAMEBITS // 8:
+                hex_frames.append(np.array(cur, np.uint8))
+    matched = sum(
+        1 for hf in hex_frames if any(np.array_equal(hf, f) for f in frames)
+    )
+    assert matched >= 2, f"{len(hex_frames)} frames decoded, {matched} matched"
