@@ -91,10 +91,12 @@ def encode_bits(
     s2 = correlate(code.poly2, code.g2flip)
     symbols = jnp.stack([s1, s2], axis=-1).reshape(*bits.shape[:-1], 2 * nbits)
 
-    # Final state: last K input bits, newest in bit 0.
-    weights = jnp.int64(1) << jnp.arange(k, dtype=jnp.int64)
+    # Final state: last K input bits, newest in bit 0.  int32 covers every
+    # K<=31 code; wider codes need x64 enabled (CPU/test path).
+    sdtype = jnp.int32 if k <= 31 else jnp.int64
+    weights = sdtype(1) << jnp.arange(k, dtype=sdtype)
     tail = jax.lax.dynamic_slice_in_dim(x, x.shape[-1] - k, k, axis=-1)
-    final_state = (tail[..., ::-1].astype(jnp.int64) * weights).sum(axis=-1)
+    final_state = (tail[..., ::-1].astype(sdtype) * weights).sum(axis=-1)
     return symbols.astype(jnp.uint8), final_state
 
 
