@@ -31,13 +31,16 @@ def read_exact(f, nbytes: int) -> bytes:
 
 def read_iq_block(f, nsamples: int, flip: bool = False) -> np.ndarray | None:
     """nsamples of interleaved int16 I,Q → complex64, or None at EOF
-    (partial blocks are dropped, pmdemod.c:210-215)."""
+    (partial blocks are dropped, pmdemod.c:210-215).
+
+    Uses the native deinterleave kernel when the C++ runtime is built.
+    """
     raw = read_exact(f, nsamples * 4)
     if len(raw) < nsamples * 4:
         return None
-    arr = np.frombuffer(raw, "<i2").astype(np.float32).reshape(-1, 2)
-    i, q = (arr[:, 1], arr[:, 0]) if flip else (arr[:, 0], arr[:, 1])
-    return (i + 1j * q).astype(np.complex64)
+    from isee3_decoder_tpu.utils import native
+
+    return native.iq_deinterleave(np.frombuffer(raw, "<i2"), flip)
 
 
 def write_int16(data: np.ndarray) -> None:
