@@ -105,13 +105,19 @@ def create(
     batch: int = 1,
     code: CodeSpec = DEFAULT_CODE,
     start_state: int | jax.Array = 0,
+    dtype: jnp.dtype = jnp.int32,
 ) -> ViterbiState:
-    """Allocate decision tape + metrics (create_viterbi224, sse2.c:56-80)."""
+    """Allocate decision tape + metrics (create_viterbi224, sse2.c:56-80).
+
+    dtype: metric dtype.  int16 matches the SSE2 kernel's storage and
+    halves HBM traffic on TPU; the per-step renormalization keeps values
+    far from saturation so decisions are identical to int32.
+    """
     nstates = code.nstates
     words = nstates // 32
     decisions = jnp.zeros((tape_len, batch, words), dtype=jnp.uint32)
     st = ViterbiState(
-        metrics=jnp.zeros((batch, nstates), jnp.int32),
+        metrics=jnp.zeros((batch, nstates), dtype),
         decisions=decisions,
         dp=jnp.zeros((), jnp.int32),
         renorm=jnp.zeros((batch,), jnp.int32),
@@ -130,7 +136,7 @@ def init(
     """
     batch, nstates = state.metrics.shape
     start = jnp.broadcast_to(jnp.asarray(start_state, jnp.int32) & code.state_mask, (batch,))
-    metrics = jnp.full((batch, nstates), START_BIAS, jnp.int32)
+    metrics = jnp.full((batch, nstates), START_BIAS, state.metrics.dtype)
     metrics = metrics.at[jnp.arange(batch), start].set(0)
     return dataclasses.replace(
         state,
@@ -160,11 +166,12 @@ def _acs_step(
     """
     B, nstates = metrics.shape
     half = nstates // 2
+    mdt = metrics.dtype
     s0 = syms[:, 0:1]
     s1 = syms[:, 1:2]
     # bt ^ s for bt in {0,255}:  s + bit * (255 - 2 s)
-    metric = (s0 + b0 * (255 - 2 * s0)) + (s1 + b1 * (255 - 2 * s1))
-    m_metric = 510 - metric
+    metric = ((s0 + b0 * (255 - 2 * s0)) + (s1 + b1 * (255 - 2 * s1))).astype(mdt)
+    m_metric = jnp.asarray(510, mdt) - metric
 
     low = metrics[:, :half]
     high = metrics[:, half:]
@@ -185,6 +192,7 @@ def _acs_step(
     # Unconditional renorm (see module docstring).
     dmin = new_metrics.min(axis=1, keepdims=True)
     new_metrics = new_metrics - dmin
+    dmin = dmin.astype(jnp.int32)
 
     # Pack decision bits little-endian into uint32 words (decision_t layout).
     packed = (
@@ -331,17 +339,18 @@ def max_metric(state: ViterbiState) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("nbits", "code"))
+@functools.partial(jax.jit, static_argnames=("nbits", "code", "dtype"))
 def decode_frame(
     syms: jax.Array,
     nbits: int,
     start_state: int | jax.Array = 0,
     end_state: int | jax.Array = 0,
     code: CodeSpec = DEFAULT_CODE,
+    dtype: jnp.dtype = jnp.int32,
 ) -> jax.Array:
     """init → update → chainback for (B, 2*nbits) symbols → (B, nbits) bits."""
     if syms.ndim == 1:
         syms = syms[None, :]
-    st = create(nbits, syms.shape[0], code, start_state)
+    st = create(nbits, syms.shape[0], code, start_state, dtype)
     st = update_blk(st, syms, code)
     return chainback(st, nbits, end_state, code)
