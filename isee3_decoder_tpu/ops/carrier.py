@@ -24,6 +24,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from isee3_decoder_tpu.ops.reductions import argmax_last
+
 
 @dataclasses.dataclass(frozen=True)
 class PMConfig:
@@ -148,7 +150,7 @@ def find_carrier(
     mask = (idx[None, :] >= first[:, None]) & (idx[None, :] < last[:, None])
     masked = jnp.where(mask, energy, -1.0)
     # ">=" update in the reference keeps the *last* maximal bin
-    peak = (n - 1 - jnp.argmax(masked[:, ::-1], axis=1)).astype(jnp.int32)
+    peak = argmax_last(masked, axis=1)
     maxenergy = jnp.take_along_axis(energy, peak[:, None], axis=1)[:, 0]
 
     nxt = (peak + 1) % n

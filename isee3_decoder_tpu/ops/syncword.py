@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from isee3_decoder_tpu.ops.reductions import argmax_first
 from isee3_decoder_tpu.config import (
     DEFAULT_CODE,
     FRAMEBITS,
@@ -65,7 +66,7 @@ def find_sync(
     position.  Returns (sync_start, record_sum).
     """
     corr = sync_correlate(symbols, npos, code)
-    best = jnp.argmax(corr, axis=-1).astype(jnp.int32)
+    best = argmax_first(corr, axis=-1)  # strict '>' keeps the earliest
     return best, jnp.take_along_axis(corr, best[:, None], axis=-1)[:, 0]
 
 

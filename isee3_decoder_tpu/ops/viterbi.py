@@ -321,7 +321,9 @@ def decodebit(
 def best_state(state: ViterbiState) -> jax.Array:
     """argmin of the path metrics — the 'find best path' mode of
     decodebit/decodeword (sse2.c:173-182)."""
-    return jnp.argmin(state.metrics, axis=1).astype(jnp.uint32)
+    from isee3_decoder_tpu.ops.reductions import argmin_first
+
+    return argmin_first(state.metrics, axis=1).astype(jnp.uint32)
 
 
 def min_metric(state: ViterbiState) -> jax.Array:
