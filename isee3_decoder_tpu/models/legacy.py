@@ -282,6 +282,66 @@ def icesync_frames(
     return out
 
 
+class BitsyncResult(NamedTuple):
+    frames: list[np.ndarray]
+    bits: np.ndarray
+    infos: list[dict]
+
+
+def bitsync_frames(
+    samples: np.ndarray,
+    samprate: float = 250_000.0,
+    symrate: float = 1024.467,
+    decode_delay: int = 200,
+    code: CodeSpec = DEFAULT_CODE,
+) -> BitsyncResult:
+    """Whole-file symbol sync + streaming Viterbi + syncword framing —
+    the capability of ``bitsync.c``: per-frame symbol phase search over
+    ±half a symbol (bitsync.c:133-186), sync-driven Viterbi pair phasing
+    (bitsync.c:208-226), fixed-delay streaming decode, and 40-bit
+    syncword framing of the decoded bit stream (bitsync.c:256-270).
+
+    Composed from the modern stage kernels (timesearch / integrate /
+    vdecode / framer) rather than re-walking samples one at a time.
+    """
+    import jax.numpy as jnp
+
+    from isee3_decoder_tpu.ops import symbols as sym_ops
+
+    samples = np.asarray(samples, np.int16)
+    symbolsamples = samprate / symrate
+    halfclock = 0.5 * symbolsamples
+    framesym = FRAMESYMBOLS
+    infos = []
+    soft_all = []
+    firstsample = int(symbolsamples / 2)
+    noff = 2 * int(symbolsamples / 2) + 1
+    while firstsample + (framesym + 1) * symbolsamples < len(samples):
+        ts = sym_ops.timesearch(
+            jnp.asarray(samples), firstsample, halfclock, framesym, 1, noff
+        )
+        firstsample += int(ts.symphase[0])
+        res = sym_ops.integrate_symbols(
+            jnp.asarray(samples), firstsample, halfclock, framesym, 1, 0.0
+        )
+        integ = np.asarray(res.integrators)[0]
+        energy = float(res.energy[0])
+        gain = 75.0 / np.sqrt(energy)  # bitsync.c:228 "Hack"
+        soft = np.clip(gain * integ + 128, 0, 255).astype(np.uint8)
+        soft_all.append(soft)
+        infos.append(
+            dict(firstsample=firstsample, energy=energy, symrate=symrate)
+        )
+        firstsample = int(firstsample + framesym * symbolsamples)
+    if not soft_all:
+        return BitsyncResult(frames=[], bits=np.zeros(0, np.uint8), infos=[])
+    stream = np.concatenate(soft_all)
+    aligned, _ = auto_phase_flip(stream[None, :], code)
+    dec = vdecode_stream(jnp.asarray(aligned), decode_delay, code)
+    framed = frame_bits(dec.bits)
+    return BitsyncResult(frames=framed.frames, bits=dec.bits[0], infos=infos)
+
+
 def inverse_erf(z: float, terms: int = 100) -> float:
     """Series-expansion inverse error function (erf1, icesync.c:414-437)."""
     c = [1.0]

@@ -317,6 +317,35 @@ def decodebit(
     return bit.astype(jnp.uint8)
 
 
+@functools.partial(jax.jit, static_argnames=("delay", "code"))
+def decodeword(
+    state: ViterbiState,
+    delay: int,
+    endstate: int | jax.Array = 0,
+    code: CodeSpec = DEFAULT_CODE,
+) -> jax.Array:
+    """Chain back ``delay`` steps and return the last 64 decoded bits as
+    (B, 64) — decodeword_viterbi224 (sse2.c:206-243).
+
+    Bits are ordered oldest-first (the reference packs newest at bit 63
+    and shifts right; this returns the equivalent bit array).
+    """
+    B = state.metrics.shape[0]
+    k = code.k
+    end = jnp.broadcast_to(jnp.asarray(endstate, jnp.uint32) & code.state_mask, (B,))
+    tape_len = state.tape_len
+
+    def step(endstate, t):
+        slot = jax.lax.rem(state.dp - 1 - t + 2 * tape_len, jnp.int32(tape_len))
+        bit = _tape_bit(state.decisions, slot, endstate)
+        endstate = (bit << (k - 2)) | (endstate >> 1)
+        return endstate, bit.astype(jnp.uint8)
+
+    _, bits = jax.lax.scan(step, end, jnp.arange(delay, dtype=jnp.int32))
+    # bits[t] is the bit delay-t steps back; last 64 oldest-first:
+    return jnp.flip(bits.T[:, -64:] if delay >= 64 else bits.T, axis=-1)
+
+
 @jax.jit
 def best_state(state: ViterbiState) -> jax.Array:
     """argmin of the path metrics — the 'find best path' mode of

@@ -1,0 +1,91 @@
+"""Checkpoint/resume, decodeword, bitsync, and streaming-state tests."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from isee3_decoder_tpu.config import CodeSpec
+from isee3_decoder_tpu.models import legacy
+from isee3_decoder_tpu.ops import encode_bits, viterbi
+from isee3_decoder_tpu.ops.carrier import PMConfig, init_carry, pm_demod_block
+from isee3_decoder_tpu.utils import testsignal
+from isee3_decoder_tpu.utils.checkpoint import restore_pytree, save_pytree
+
+K7 = CodeSpec("TESTK7", 0o171, 0o133, 7, 0, 0)
+
+
+def test_viterbi_state_checkpoint_roundtrip(tmp_path):
+    """A streaming decode interrupted mid-frame and restored from disk
+    produces identical output — the checkpoint story the reference lacks
+    (SURVEY.md §5.4)."""
+    rng = np.random.default_rng(0)
+    nbits = 120
+    bits = rng.integers(0, 2, nbits, dtype=np.uint8)
+    bits[-(K7.k - 1):] = 0
+    syms, _ = encode_bits(jnp.asarray(bits), 0, K7)
+    soft = np.where(np.asarray(syms) > 0, 200, 56).astype(np.uint8)
+
+    st = viterbi.create(nbits, 1, K7, 0)
+    st = viterbi.update_blk(st, jnp.asarray(soft[:nbits]), K7)  # half the frame
+
+    path = tmp_path / "vit_state.npz"
+    save_pytree(path, st)
+    st2 = restore_pytree(path, viterbi.create(nbits, 1, K7, 0))
+    st2 = viterbi.ViterbiState(
+        metrics=jnp.asarray(st2.metrics),
+        decisions=jnp.asarray(st2.decisions),
+        dp=jnp.asarray(st2.dp),
+        renorm=jnp.asarray(st2.renorm),
+    )
+    st2 = viterbi.update_blk(st2, jnp.asarray(soft[nbits:]), K7)
+    got = np.asarray(viterbi.chainback(st2, nbits, 0, K7))[0]
+    np.testing.assert_array_equal(got, bits)
+
+
+def test_pm_carry_checkpoint(tmp_path):
+    cfg = PMConfig(samprate=32768.0, binsize=8.0, search_width=100.0)
+    n = cfg.fftsize
+    t = np.arange(2 * n)
+    iq = 9000 * np.exp(1j * 2 * np.pi * 1500.0 * t / cfg.samprate)
+    c = init_carry(1, cfg)
+    c, _ = pm_demod_block(c, jnp.asarray(iq[:n])[None], cfg)
+    save_pytree(tmp_path / "pm.npz", c)
+    c2 = restore_pytree(tmp_path / "pm.npz", init_carry(1, cfg))
+    _, out_a = pm_demod_block(c, jnp.asarray(iq[n:])[None], cfg)
+    _, out_b = pm_demod_block(
+        type(c)(*[jnp.asarray(x) for x in c2]), jnp.asarray(iq[n:])[None], cfg
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_a.baseband), np.asarray(out_b.baseband)
+    )
+
+
+def test_decodeword():
+    rng = np.random.default_rng(1)
+    nbits = 150
+    bits = rng.integers(0, 2, nbits, dtype=np.uint8)
+    bits[-(K7.k - 1):] = 0
+    syms, _ = encode_bits(jnp.asarray(bits), 0, K7)
+    soft = np.where(np.asarray(syms) > 0, 200, 56).astype(np.uint8)
+    st = viterbi.create(nbits, 1, K7, 0)
+    st = viterbi.update_blk(st, jnp.asarray(soft), K7)
+    delay = 100
+    w = np.asarray(viterbi.decodeword(st, delay, 0, K7))[0]
+    # oldest-first: the deepest decision (delay steps back from trellis
+    # step nbits-1) is input bit (nbits-1-(delay-1)) - (K-1)
+    start = nbits - delay - K7.k + 1
+    np.testing.assert_array_equal(w, bits[start : start + 64])
+
+
+def test_bitsync_frames():
+    rng = np.random.default_rng(2)
+    frames = testsignal.random_frames(rng, 3)
+    syms = testsignal.frames_to_symbols(frames)
+    samprate, symrate = 16384.0, 1024.0
+    wave = testsignal.manchester_waveform(syms, samprate / symrate)
+    samples = (900.0 * wave + rng.normal(0, 60, len(wave))).astype(np.int16)
+    res = legacy.bitsync_frames(samples, samprate, symrate, decode_delay=100)
+    assert len(res.frames) >= 1
+    matched = sum(
+        1 for fr in res.frames if any(np.array_equal(fr, f) for f in frames)
+    )
+    assert matched >= 1
