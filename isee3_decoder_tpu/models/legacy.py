@@ -96,14 +96,12 @@ def vdecode_stream(
     nbits = L // 2
     syms = symbols[:, : nbits * 2]
 
-    st = viterbi.create(decode_delay + 1, B, code, 0)
-    out_bits = []
-    # process in chunks for tape reuse; chainback per bit like vdecode
-    for t in range(nbits):
-        st = viterbi.update_blk(st, jnp.asarray(syms[:, 2 * t : 2 * t + 2]), code)
-        if t >= decode_delay:
-            out_bits.append(np.asarray(viterbi.decodebit(st, decode_delay, 0, code)))
-    bits = np.stack(out_bits, axis=1) if out_bits else np.zeros((B, 0), np.uint8)
+    # Full-tape update + vectorized fixed-delay chainbacks: identical
+    # output to the per-pair update/decodebit loop of vdecode.c, but one
+    # device program instead of nbits dispatches.
+    st = viterbi.create(nbits, B, code, 0)
+    st = viterbi.update_blk(st, jnp.asarray(syms), code)
+    bits = np.asarray(viterbi.streaming_decodebits(st, decode_delay, code))
 
     # Re-encode self-check (vdecode.c:155-183): compare re-encoded symbols
     # against hard-sliced received symbols at the matching lag.

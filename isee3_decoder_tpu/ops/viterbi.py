@@ -318,6 +318,44 @@ def decodebit(
 
 
 @functools.partial(jax.jit, static_argnames=("delay", "code"))
+def streaming_decodebits(
+    state: ViterbiState,
+    delay: int,
+    code: CodeSpec = DEFAULT_CODE,
+) -> jax.Array:
+    """All fixed-delay streaming decode outputs at once.
+
+    Equivalent to running ``decodebit(state_t, delay, 0)`` after every
+    trellis step t >= delay of a full-tape update (the vdecode.c:142-154
+    per-symbol-pair loop), but vectorized: every end time chains back
+    independently.  Requires tape_len >= nbits (fresh full-frame tape).
+
+    Returns (B, nbits-delay) uint8; output j corresponds to end time
+    t = delay + j and equals input bit b_{t - delay - (K-2)}.
+    """
+    nbits = state.tape_len
+    B = state.metrics.shape[0]
+    k = code.k
+
+    def one_end_time(t):
+        def step(endstate, d):
+            bit = _tape_bit(state.decisions, t - d, endstate)
+            endstate = (bit << (k - 2)) | (endstate >> 1)
+            return endstate, bit
+
+        _, bits = jax.lax.scan(
+            step,
+            jnp.zeros((B,), jnp.uint32),
+            jnp.arange(delay, dtype=jnp.int32),
+        )
+        return bits[-1].astype(jnp.uint8)
+
+    ts = jnp.arange(delay, nbits, dtype=jnp.int32)
+    out = jax.vmap(one_end_time)(ts)  # (nbits-delay, B)
+    return out.T
+
+
+@functools.partial(jax.jit, static_argnames=("delay", "code"))
 def decodeword(
     state: ViterbiState,
     delay: int,

@@ -77,14 +77,20 @@ def test_decodeword():
 
 
 def test_bitsync_frames():
+    # Uses the small K7 code so the CPU-side Viterbi stays fast; the
+    # bitsync capability (timing search + phasing + streaming decode +
+    # framing) is code-independent.
     rng = np.random.default_rng(2)
-    frames = testsignal.random_frames(rng, 3)
-    syms = testsignal.frames_to_symbols(frames)
+    # 4 frames: the first framed window includes Viterbi warm-up garbage
+    # (as with the real vdecode startup), so require a *clean* later
+    # frame to match.
+    frames = testsignal.random_frames(rng, 4)
+    syms = testsignal.frames_to_symbols(frames, K7)
     samprate, symrate = 16384.0, 1024.0
     wave = testsignal.manchester_waveform(syms, samprate / symrate)
     samples = (900.0 * wave + rng.normal(0, 60, len(wave))).astype(np.int16)
-    res = legacy.bitsync_frames(samples, samprate, symrate, decode_delay=100)
-    assert len(res.frames) >= 1
+    res = legacy.bitsync_frames(samples, samprate, symrate, decode_delay=100, code=K7)
+    assert len(res.frames) >= 2
     matched = sum(
         1 for fr in res.frames if any(np.array_equal(fr, f) for f in frames)
     )
