@@ -1,0 +1,103 @@
+"""Time-axis sharding: shard outputs must match the sequential pipeline
+after the documented ramp-up, and stitched streams must decode."""
+
+import numpy as np
+import jax
+import pytest
+
+from isee3_decoder_tpu.models.decode import DecodeConfig, decode_stream
+from isee3_decoder_tpu.models.pipeline import PipelineConfig, demod_to_symbols
+from isee3_decoder_tpu.ops.carrier import PMConfig
+from isee3_decoder_tpu.ops.symbols import SymConfig
+from isee3_decoder_tpu.parallel import make_mesh
+from isee3_decoder_tpu.parallel.timeshard import (
+    demod_time_sharded,
+    plan_time_shards,
+    shard_views,
+    stitch_shards,
+)
+from isee3_decoder_tpu.utils import testsignal
+import jax.numpy as jnp
+
+
+def _require_devices(n):
+    if len(jax.devices()) < n:
+        pytest.skip(f"needs {n} devices")
+
+
+def make_cfg():
+    # window (0.5 s = 16384 samples) is a whole number of FFT blocks
+    # (4096); carrier sits on a bin center (4104 = 513 * 8 Hz) — a
+    # half-bin carrier scallops its energy below the PM sidebands and
+    # breaks the peak search for the C reference just the same.
+    return PipelineConfig(
+        pm=PMConfig(samprate=32768.0, binsize=8.0),  # fftsize 4096
+        sym=SymConfig(samprate=32768.0, symrate=256.0, window=0.5),
+    )
+
+
+def test_time_sharded_matches_sequential_steady_state():
+    _require_devices(4)
+    mesh = make_mesh(n_channels_axis=4, n_state_axis=1)
+    cfg = make_cfg()
+    rng = np.random.default_rng(0)
+    frames = testsignal.random_frames(rng, 2)
+    iq = testsignal.synthesize_iq(
+        frames,
+        samprate=cfg.pm.samprate,
+        symrate=cfg.sym.symrate,
+        carrier=4104.0,
+        noise_std=400.0,
+        rng=rng,
+    )
+    soft_seq, *_ = demod_to_symbols(jnp.asarray(iq)[None, :], cfg)
+    soft_seq = np.asarray(soft_seq)[0]
+
+    soft_sh, plan = demod_time_sharded(iq, cfg, mesh)
+    assert plan.nshards == 4
+
+    # Post-ramp-up windows of each shard must reproduce the sequential
+    # symbols at the same absolute window index.
+    nsym = cfg.sym.nsymbols
+    h, c = plan.halo_windows, plan.chunk_windows
+    total_match = 0
+    total_cnt = 0
+    for s in range(1, plan.nshards):
+        for j in range(c):
+            w = h + j
+            seq_w = s * c + j
+            a = soft_sh[s, 0, w * nsym : (w + 1) * nsym]
+            b = soft_seq[seq_w * nsym : (seq_w + 1) * nsym]
+            if len(b) < nsym or len(a) < nsym:
+                continue
+            # allow ±1-symbol seam from independent timing acquisition
+            best = max(
+                (a[2:-2] == b[2 - d : len(b) - 2 - d]).mean() for d in (-1, 0, 1)
+            )
+            total_match += best
+            total_cnt += 1
+    assert total_cnt > 0
+    assert total_match / total_cnt > 0.99
+
+
+def test_stitched_stream_decodes():
+    _require_devices(4)
+    mesh = make_mesh(n_channels_axis=4, n_state_axis=1)
+    cfg = make_cfg()
+    rng = np.random.default_rng(1)
+    frames = testsignal.random_frames(rng, 4)
+    iq = testsignal.synthesize_iq(
+        frames,
+        samprate=cfg.pm.samprate,
+        symrate=cfg.sym.symrate,
+        carrier=4104.0,
+        noise_std=300.0,
+        rng=rng,
+    )
+    soft_sh, plan = demod_time_sharded(iq, cfg, mesh)
+    stream = stitch_shards(soft_sh, plan, cfg)
+    recs, _ = decode_stream(stream, DecodeConfig())
+    goods = [r for r in recs if r.good[0]]
+    assert len(goods) >= 1
+    for r in goods:
+        assert any(np.array_equal(r.data[0], f) for f in frames)
