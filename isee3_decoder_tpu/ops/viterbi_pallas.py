@@ -40,17 +40,22 @@ def _acs_kernel(syms_ref, adjust_ref, lo_ref, hi_ref, b0_ref, b1_ref,
                 new_ref, dec_ref, tmin_ref):
     """One butterfly tile of one trellis step.
 
+    syms/adjust: scalar-prefetch SMEM refs, indexed by the batch grid
+           coordinate.
     lo/hi: (1, R, LANES) int16 old metrics for butterflies i and
            i+2**(K-2) — flat butterfly index = row*LANES + lane.
     b0/b1: (R, LANES) int8 branch bits.
     new:   (1, 2R, LANES) int16 interleaved new metrics.
     dec:   (1, R//16, LANES) uint32 packed decisions, canonical
            decision_t layout (bit state&31 of word state>>5).
-    tmin:  (1, 1) int32 tile minimum (for the caller's global renorm).
+    tmin:  (1, 8, NTILES) int32 VMEM accumulator revisited by every tile
+           of a batch row; element (0, t) holds tile t's minimum.
     """
-    s0 = syms_ref[0, 0].astype(jnp.int32)
-    s1 = syms_ref[0, 1].astype(jnp.int32)
-    adjust = adjust_ref[0, 0]
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    s0 = syms_ref[b, 0].astype(jnp.int32)
+    s1 = syms_ref[b, 1].astype(jnp.int32)
+    adjust = adjust_ref[b]
 
     b0 = b0_ref[:].astype(jnp.int32)
     b1 = b1_ref[:].astype(jnp.int32)
@@ -80,12 +85,28 @@ def _acs_kernel(syms_ref, adjust_ref, lo_ref, hi_ref, b0_ref, b1_ref,
 
     # Decisions, canonical layout: bit (s & 31) of word (s >> 5).  The
     # interleaved decision row pair (2*LANES bits) forms 8 words.
-    dd = jnp.stack([d0, d1], axis=-1).reshape(R, 2 * LANES).astype(jnp.uint32)
+    # Sum in int32 (Mosaic lacks unsigned reductions); two's-complement
+    # wraparound keeps the packed bits identical, then reinterpret.
+    dd = jnp.stack([d0, d1], axis=-1).reshape(R, 2 * LANES).astype(jnp.int32)
     dd = dd.reshape(R, 8, 32)
-    shifts = jax.lax.broadcasted_iota(jnp.uint32, (R, 8, 32), 2)
-    words = (dd << shifts).sum(axis=2, dtype=jnp.uint32)  # (R, 8)
-    dec_ref[0] = words.reshape(R // 16, LANES)
-    tmin_ref[0, 0] = jnp.minimum(s0v.min(), s1v.min()).astype(jnp.int32)
+    shifts = jax.lax.broadcasted_iota(jnp.int32, (R, 8, 32), 2)
+    words = (dd << shifts).sum(axis=2, dtype=jnp.int32)  # (R, 8)
+    dec_ref[0] = words.reshape(R // 16, LANES).astype(jnp.uint32)
+
+    ntiles = tmin_ref.shape[2]
+    # Mosaic reduces in int32 only; widen the survivor minima first.
+    val = jnp.minimum(
+        s0v.astype(jnp.int32).min(), s1v.astype(jnp.int32).min()
+    )
+
+    @pl.when(t == 0)
+    def _():
+        tmin_ref[0] = jnp.full((8, ntiles), jnp.int32(2**31 - 1))
+
+    cur = tmin_ref[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (8, ntiles), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, ntiles), 0)
+    tmin_ref[0] = jnp.where((col == t) & (row == 0), val, cur)
 
 
 @functools.partial(jax.jit, static_argnames=("code", "tile_rows", "interpret"))
@@ -121,37 +142,36 @@ def acs_step_pallas(
 
     m3 = metrics.reshape(B, 2 * rows_half, LANES)
 
-    grid = (B, ntiles)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, ntiles),
+        in_specs=[
+            pl.BlockSpec((1, R, LANES), lambda b, t, *_: (b, t, 0)),
+            pl.BlockSpec((1, R, LANES), lambda b, t, *_: (b, ntiles + t, 0)),
+            pl.BlockSpec((R, LANES), lambda b, t, *_: (t, 0)),
+            pl.BlockSpec((R, LANES), lambda b, t, *_: (t, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 2 * R, LANES), lambda b, t, *_: (b, t, 0)),
+            pl.BlockSpec((1, R // 16, LANES), lambda b, t, *_: (b, t, 0)),
+            pl.BlockSpec((1, 8, ntiles), lambda b, t, *_: (b, 0, 0)),
+        ),
+    )
     out_shapes = (
         jax.ShapeDtypeStruct((B, 2 * rows_half, LANES), jnp.int16),
         jax.ShapeDtypeStruct((B, rows_half // 16, LANES), jnp.uint32),
-        jax.ShapeDtypeStruct((B, ntiles), jnp.int32),
+        jax.ShapeDtypeStruct((B, 8, ntiles), jnp.int32),
     )
     new, dec, tmins = pl.pallas_call(
         _acs_kernel,
         out_shape=out_shapes,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 2), lambda b, t: (b, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda b, t: (b, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, R, LANES), lambda b, t: (b, t, 0)),
-            pl.BlockSpec(
-                (1, R, LANES), lambda b, t: (b, ntiles + t, 0)
-            ),
-            pl.BlockSpec((R, LANES), lambda b, t: (t, 0)),
-            pl.BlockSpec((R, LANES), lambda b, t: (t, 0)),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, 2 * R, LANES), lambda b, t: (b, t, 0)),
-            pl.BlockSpec((1, R // 16, LANES), lambda b, t: (b, t, 0)),
-            pl.BlockSpec((1, 1), lambda b, t: (b, t), memory_space=pltpu.SMEM),
-        ),
+        grid_spec=grid_spec,
         interpret=interpret,
-    )(syms.astype(jnp.int32), adjust.astype(jnp.int32)[:, None], m3, m3, b0, b1)
+    )(syms.astype(jnp.int32), adjust.astype(jnp.int32), m3, m3, b0, b1)
     return (
         new.reshape(B, nstates),
         dec.reshape(B, nstates // 32),
-        tmins.min(axis=1),
+        tmins[:, 0, :].min(axis=1),
     )
 
 
