@@ -57,6 +57,9 @@ class DecodeConfig:
     fano_delta: int = 32  # 4 * scale
     fano_maxcycles: int = 100
     code: CodeSpec = DEFAULT_CODE
+    #: Viterbi kernel: "jnp" (reference) or "inplace" (rotating-layout
+    #: TPU kernel, ops/viterbi_inplace.py) — bit-identical outputs.
+    viterbi_backend: str = "jnp"
 
     def mettab(self) -> np.ndarray:
         """Fano metric table assuming threshold operation at Eb/N0=3 dB
@@ -164,9 +167,18 @@ def decode_stream(
                 need_vit = (cfg.persistent | state.lock) & ~decode_ok
             if need_vit.any():
                 sub = np.nonzero(need_vit)[0]
-                vbits = viterbi.decode_frame(
-                    fsyms[sub], FRAMEBITS, SYNC_STATE, SYNC_STATE, cfg.code
-                )
+                if cfg.viterbi_backend == "inplace":
+                    from isee3_decoder_tpu.ops.viterbi_inplace import (
+                        decode_frame_inplace,
+                    )
+
+                    vbits = decode_frame_inplace(
+                        fsyms[sub], FRAMEBITS, SYNC_STATE, SYNC_STATE, cfg.code
+                    )
+                else:
+                    vbits = viterbi.decode_frame(
+                        fsyms[sub], FRAMEBITS, SYNC_STATE, SYNC_STATE, cfg.code
+                    )
                 bits[sub] = np.asarray(vbits)
                 decoder[sub] = DECODER_VITERBI
                 decode_ok[sub] = True  # Viterbi always returns a frame
