@@ -7,6 +7,12 @@ Baseline: the reference C chain processes (optimistically) one 250 ksps
 channel in real time on a CPU core when Fano succeeds, and falls behind
 real time whenever the Viterbi fallback engages (CHANGES:9).  We
 normalize vs_baseline against 1.0 channel.
+
+Environment notes: host↔device transfers through the tunneled TPU
+runtime are very slow, so IQ is synthesized on-device (frame bytes are
+the only upload) and timings are taken via scalar readbacks (the only
+reliable synchronization point).  If the TPU backend is unreachable the
+benchmark retries, then falls back to CPU with the backend recorded.
 """
 
 from __future__ import annotations
@@ -18,11 +24,30 @@ import time
 import numpy as np
 
 
+def _tpu_alive() -> bool:
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        return float(jnp.arange(4.0).sum()) == 6.0
+    except Exception:
+        return False
+
+
 def main() -> None:
     import jax
 
     if os.environ.get("BENCH_CPU", "") == "1":
         jax.config.update("jax_platforms", "cpu")
+    else:
+        deadline = time.time() + float(os.environ.get("BENCH_TPU_WAIT", "300"))
+        while time.time() < deadline:
+            if _tpu_alive():
+                break
+            time.sleep(20)
+        else:
+            jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
 
     from isee3_decoder_tpu.models.decode import DecodeConfig, decode_stream
@@ -30,68 +55,79 @@ def main() -> None:
     from isee3_decoder_tpu.ops.carrier import PMConfig
     from isee3_decoder_tpu.ops.symbols import SymConfig
     from isee3_decoder_tpu.utils import testsignal
+    from isee3_decoder_tpu.utils.devicesignal import synthesize_iq_device
 
     small = os.environ.get("BENCH_SMALL", "") == "1"
     samprate = 250_000.0
     symrate = 1024.0
     nchan = 4 if small else 32
-    seconds = 2.2 if small else 8.4  # 4 frames + margin at 512 bps
+    nframes = 3 if small else 4
+    seconds = (nframes * 2048 + 400) / symrate  # frames + slack
+    nsamples = int(seconds * samprate)
 
     rng = np.random.default_rng(0)
-    nframes = 1 if small else 4
     frames = testsignal.random_frames(rng, nframes)
-    base_iq = testsignal.synthesize_iq(
-        frames,
-        samprate=samprate,
-        symrate=symrate,
-        carrier=20_000.0,
-        noise_std=2500.0,
-        lead_symbols=40,
-        rng=rng,
-    )
-    need = int(seconds * samprate)
-    if len(base_iq) < need:
-        base_iq = np.tile(base_iq, need // len(base_iq) + 1)
-    base_iq = base_iq[:need]
-    # distinct channels: frequency-offset copies (independent carrier loops)
-    t = np.arange(need)
-    chans = np.stack(
-        [
-            (base_iq * np.exp(1j * 2 * np.pi * (137.0 * c) * t / samprate)).astype(
-                np.complex64
-            )
-            for c in range(nchan)
-        ]
-    )
+    frames_dev = jnp.asarray(np.broadcast_to(frames, (nchan, *frames.shape)))
+    carriers = jnp.asarray(20_000.0 + 137.0 * np.arange(nchan), jnp.float32)
 
     cfg = PipelineConfig(
         pm=PMConfig(samprate=samprate, binsize=4.0, search_width=200.0),
         sym=SymConfig(samprate=samprate, symrate=symrate),
-        decode=DecodeConfig(),
+        decode=DecodeConfig(viterbi_backend="inplace"),
     )
 
-    iq_dev = jnp.asarray(chans)
+    key = jax.random.PRNGKey(0)
 
-    # Warmup (compile)
-    soft, bb, freq, cn0 = demod_to_symbols(iq_dev, cfg)
-    jax.block_until_ready(soft)
+    @jax.jit
+    def synth(frames_dev, key):
+        return synthesize_iq_device(
+            frames_dev, carriers, key, nsamples,
+            samprate=samprate, symrate=symrate, noise_std=2500.0,
+        )
+
+    @jax.jit
+    def demod_sum(iq):
+        soft, bb, freq, cn0 = demod_to_symbols(iq, cfg)
+        return soft, soft.sum(dtype=jnp.int32), cn0[-1].min()
+
+    # Warmup / compile
+    iq = synth(frames_dev, key)
+    soft, chk, cn0_min = demod_sum(iq)
+    float(chk)
+
+    # Time synth alone (scalar readback sync)
+    t0 = time.perf_counter()
+    iq = synth(frames_dev, key)
+    _ = float(jnp.real(iq[0, 0]) + jnp.real(iq[-1, -1]))
+    t_synth = time.perf_counter() - t0
+
+    # Time synth + demod, subtract synth
+    t0 = time.perf_counter()
+    iq = synth(frames_dev, key)
+    soft, chk, cn0_min = demod_sum(iq)
+    _ = float(chk)
+    t_total = time.perf_counter() - t0
+    t_demod = max(t_total - t_synth, 1e-9)
 
     t0 = time.perf_counter()
-    soft, bb, freq, cn0 = demod_to_symbols(iq_dev, cfg)
-    jax.block_until_ready(soft)
-    t_demod = time.perf_counter() - t0
-
     soft_np = np.asarray(soft)
+    t_fetch = time.perf_counter() - t0
+
     t0 = time.perf_counter()
     recs, _ = decode_stream(soft_np, cfg.decode)
     t_decode = time.perf_counter() - t0
 
-    total_samples = chans.size
+    total_samples = nchan * nsamples
     wall = t_demod + t_decode
     samples_per_sec = total_samples / wall
     channels_realtime = samples_per_sec / samprate
 
     ngood = int(sum(r.good.sum() for r in recs))
+    nmatched = 0
+    for r in recs:
+        for ch in range(nchan):
+            if r.good[ch] and any(np.array_equal(r.data[ch], f) for f in frames):
+                nmatched += 1
     payload = {
         "metric": "realtime_250ksps_channels_per_chip",
         "value": round(channels_realtime, 2),
@@ -99,12 +135,16 @@ def main() -> None:
         "vs_baseline": round(channels_realtime / 1.0, 2),
         "detail": {
             "demod_Msamples_per_s": round(samples_per_sec / 1e6, 2),
+            "t_synth_s": round(t_synth, 3),
             "t_demod_s": round(t_demod, 3),
             "t_decode_s": round(t_decode, 3),
+            "t_fetch_s": round(t_fetch, 3),
             "nchan": nchan,
-            "seconds_per_chan": seconds,
-            "frames_decoded_good": ngood,
-            "frames_total": len(recs) * nchan,
+            "seconds_per_chan": round(seconds, 2),
+            "frames_good": ngood,
+            "frames_matched": nmatched,
+            "frames_possible": (len(recs)) * nchan,
+            "min_cn0_db": round(float(cn0_min), 1),
             "backend": jax.default_backend(),
         },
     }
