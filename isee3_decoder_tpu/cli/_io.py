@@ -63,3 +63,21 @@ def force_cpu_if_requested() -> None:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+
+
+def run_main(main) -> None:
+    """CLI entry wrapper: exit silently on closed stdout (SIGPIPE), like
+    the C tools, instead of dumping a BrokenPipeError traceback."""
+    import sys
+
+    try:
+        code = main()
+    except BrokenPipeError:
+        try:
+            sys.stdout.close()
+        except Exception:
+            pass
+        code = 0
+    except KeyboardInterrupt:
+        code = 130
+    sys.exit(code)

@@ -14,8 +14,8 @@ import sys
 
 import numpy as np
 
-from isee3_decoder_tpu.cli._io import force_cpu_if_requested, read_exact, status
-from isee3_decoder_tpu.config import FRAMEBITS, FRAMESYMBOLS, SYNCBITS
+from isee3_decoder_tpu.cli._io import force_cpu_if_requested, read_exact
+from isee3_decoder_tpu.config import FRAMESYMBOLS, SYNCBITS
 
 
 def main(argv=None) -> int:
@@ -87,4 +87,6 @@ def main(argv=None) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    from isee3_decoder_tpu.cli._io import run_main
+
+    run_main(main)

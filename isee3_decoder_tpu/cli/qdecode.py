@@ -42,4 +42,6 @@ def main(argv=None) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    from isee3_decoder_tpu.cli._io import run_main
+
+    run_main(main)

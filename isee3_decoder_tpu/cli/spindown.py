@@ -11,7 +11,7 @@ import sys
 
 import numpy as np
 
-from isee3_decoder_tpu.cli._io import open_input, read_iq_block, status
+from isee3_decoder_tpu.cli._io import open_input, read_iq_block
 
 
 def main(argv=None) -> int:
@@ -43,4 +43,6 @@ def main(argv=None) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    from isee3_decoder_tpu.cli._io import run_main
+
+    run_main(main)

@@ -32,10 +32,14 @@ def parse_symrate(arg: str | None) -> tuple[float, int]:
     the measured spacecraft clock; < 1000 Hz → subcarrier mode."""
     if arg is None:
         return ACTUALCLOCK, 1
+    try:
+        value = float(arg)
+    except ValueError:
+        raise SystemExit(f"symdemod: invalid symbol rate {arg!r}")
     if "." not in arg:
-        symrate = float(arg) * ACTUALCLOCK / NOMINALCLOCK
+        symrate = value * ACTUALCLOCK / NOMINALCLOCK
     else:
-        symrate = float(arg)
+        symrate = value
     clocks = 1
     if symrate < 1000:
         clocks = int(round(NOMINALCLOCK / symrate))
@@ -144,4 +148,6 @@ def main(argv=None) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    from isee3_decoder_tpu.cli._io import run_main
+
+    run_main(main)

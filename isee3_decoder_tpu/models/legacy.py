@@ -19,7 +19,6 @@ functions so nothing a reference user relies on is lost:
 
 from __future__ import annotations
 
-import dataclasses
 from typing import NamedTuple
 
 import numpy as np

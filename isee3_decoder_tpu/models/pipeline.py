@@ -20,7 +20,6 @@ import numpy as np
 
 from isee3_decoder_tpu.models.decode import (
     DecodeConfig,
-    DecodeStreamState,
     FrameRecord,
     decode_stream,
 )

@@ -14,7 +14,6 @@ samples-per-symbol value the edge tables are built from.
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 from typing import NamedTuple
 

@@ -12,7 +12,6 @@ fallback for plain pytrees of arrays.
 
 from __future__ import annotations
 
-import json
 import os
 from pathlib import Path
 from typing import Any
