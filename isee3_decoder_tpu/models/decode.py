@@ -202,6 +202,91 @@ def decode_stream(
     return records, state
 
 
+def decode_frames_batch(
+    symbols: np.ndarray,
+    sync_start: np.ndarray,
+    nframes: int,
+    cfg: DecodeConfig = DecodeConfig(),
+) -> FrameRecord:
+    """Throughput mode: decode ``nframes`` consecutive frames per channel
+    in ONE lockstep Fano call (+ one batched Viterbi pass over failures).
+
+    The frame axis joins the channel axis as a batch dimension
+    (SURVEY.md §2.5 "frame-level batch Viterbi") — the TPU-native way to
+    decode a locked stream.  Policy-wise this equals the reference's
+    *persistent* hybrid mode (-p): every Fano failure falls back to
+    Viterbi, without the previous-frame gating (which is inherently
+    serial).
+
+    Args:
+      symbols: (B, S) soft symbols.
+      sync_start: (B,) position of the sync preceding frame 0.
+      nframes: frames per channel (caller guarantees
+        sync_start + SYNCBITS + nframes*FRAMESYMBOLS <= S).
+
+    Returns one FrameRecord with batch axis B*nframes (channel-major:
+    record row b*nframes + f is channel b's frame f).
+    """
+    if symbols.ndim == 1:
+        symbols = symbols[None, :]
+    B, S = symbols.shape
+    sync_start = np.broadcast_to(np.asarray(sync_start, np.int64), (B,))
+    starts = (
+        sync_start[:, None] + SYNCBITS + FRAMESYMBOLS * np.arange(nframes)[None, :]
+    )  # (B, F)
+    idx = starts[..., None] + np.arange(FRAMESYMBOLS)[None, None, :]
+    fsyms = np.take_along_axis(
+        symbols[:, None, :], idx.astype(np.int64), axis=-1
+    ).reshape(B * nframes, FRAMESYMBOLS)
+    fdev = jnp.asarray(fsyms)
+
+    k = cfg.code.k
+    tail = SYNCWORD & ((1 << (k - 1)) - 1)
+    decoder = np.full(B * nframes, DECODER_NONE, np.int32)
+    bits = np.zeros((B * nframes, FRAMEBITS), np.uint8)
+    decode_ok = np.zeros(B * nframes, bool)
+    cycles = np.zeros(B * nframes, np.int32)
+
+    if cfg.fano_enabled:
+        res = fano_decode(
+            fdev, jnp.asarray(cfg.mettab()), FRAMEBITS, SYNC_STATE, tail,
+            cfg.code, cfg.fano_params(),
+        )
+        decoder[:] = DECODER_FANO
+        bits = np.asarray(res.bits)
+        decode_ok = np.asarray(res.goodbits) == FRAMEBITS
+        cycles = np.asarray(res.cycles)
+
+    if cfg.viterbi_enabled:
+        need = ~decode_ok if cfg.fano_enabled else np.ones(B * nframes, bool)
+        if need.any():
+            sub = np.nonzero(need)[0]
+            if cfg.viterbi_backend == "inplace":
+                from isee3_decoder_tpu.ops.viterbi_inplace import (
+                    decode_frame_inplace,
+                )
+
+                vbits = decode_frame_inplace(
+                    fdev[sub], FRAMEBITS, SYNC_STATE, SYNC_STATE, cfg.code
+                )
+            else:
+                vbits = viterbi.decode_frame(
+                    fdev[sub], FRAMEBITS, SYNC_STATE, SYNC_STATE, cfg.code
+                )
+            bits[sub] = np.asarray(vbits)
+            decoder[sub] = DECODER_VITERBI
+            decode_ok[sub] = True
+
+    good = decode_ok & np.asarray(verify_frame(jnp.asarray(bits)))
+    return FrameRecord(
+        data=np.asarray(bits_to_bytes(jnp.asarray(bits))),
+        good=good,
+        decoder=decoder,
+        start_symbol=starts.reshape(-1),
+        fano_cycles=cycles,
+    )
+
+
 def format_frame(rec: FrameRecord, channel: int, frame_no: int, symrate: float = 1024.0) -> str:
     """Pretty-print one channel's frame like decode.c:249-265."""
     from isee3_decoder_tpu.utils.timeformat import format_hms
