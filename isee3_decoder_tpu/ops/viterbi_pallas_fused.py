@@ -1,0 +1,393 @@
+"""Fused-cycle Pallas kernels for the in-place Viterbi ACS.
+
+Builds on the rotating-layout formulation (ops/viterbi_inplace.py): over
+one W-step cycle (W = K-1) the butterfly pair offset walks
+2^(W-1), 2^(W-2), …, 1.  View the metric array as a
+(2^ROWB, 2^COLB) matrix (ROWB top bits = rows).  Then:
+
+* steps 0..ROWB-1 pair elements across **rows** (same column) — a
+  column tile of the matrix contains every pair it needs, so all ROWB
+  steps run back-to-back in VMEM on one HBM read+write  (kernel A);
+* steps ROWB..W-1 pair elements across **columns** (same row) with
+  offsets < 2^COLB — a row tile containing full rows runs the remaining
+  W-ROWB steps in VMEM on one more read+write (kernel B).
+
+Per decoded bit this is ~2/W metric passes instead of 1 — at K=24
+(W=23, ROWB=8, COLB=15) metric traffic drops from 32 MB/bit to
+~2.8 MB/bit, leaving decision output (1 MB/bit) and compute as the
+limits.  Branch bits are computed in-kernel from position iotas:
+branch(p) = flip ^ parity(p & rotr^t(poly_mask)), split into row/column
+mask parities.  Decisions come out in the same canonical sublane-packed
+layout as viterbi_inplace (bit row%32 of word (row//32)*128 + lane for
+flat position p = row*128 + lane), so chainback_inplace works
+unchanged.
+
+Renormalization runs once per cycle *outside* the kernels (one metric
+pass per W steps; int16 growth over a cycle is ≤ W*510 + spread, well
+inside range).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from isee3_decoder_tpu.config import DEFAULT_CODE, CodeSpec
+from isee3_decoder_tpu.ops import viterbi as vit
+from isee3_decoder_tpu.ops.viterbi_inplace import (
+    _branch_masks,
+    _rotr,
+    chainback_inplace,
+)
+
+
+def _geometry(code: CodeSpec) -> tuple[int, int, int]:
+    """(W, ROWB, COLB): row bits cover the steps with offsets >= 2^COLB."""
+    w = code.k - 1
+    colb = min(15, w - 1)
+    rowb = w - colb
+    return w, rowb, colb
+
+
+def _step_masks(code: CodeSpec, t: int) -> tuple[int, int, int, int]:
+    """Row/col parity masks for both polynomials at cycle step t."""
+    w = code.k - 1
+    _, rowb, colb = _geometry(code)
+    q1, q2 = _branch_masks(code)
+    m1 = _rotr(q1, t % w, w)
+    m2 = _rotr(q2, t % w, w)
+    colmask = (1 << colb) - 1
+    return m1 >> colb, m1 & colmask, m2 >> colb, m2 & colmask
+
+
+def _acs_pair(lo, hi, b0, b1, s0, s1, mdt):
+    metric = ((s0 + b0 * (255 - 2 * s0)) + (s1 + b1 * (255 - 2 * s1))).astype(mdt)
+    m_metric = jnp.asarray(510, mdt) - metric
+    a0 = lo + metric
+    a1 = hi + m_metric
+    a2 = lo + m_metric
+    a3 = hi + metric
+    return (
+        jnp.minimum(a0, a1),
+        jnp.minimum(a2, a3),
+        a0 > a1,
+        a2 > a3,
+    )
+
+
+def _parity(x):
+    return jax.lax.population_count(x) & 1
+
+
+def _pack_words(dd, nrows, ncols):
+    """(nrows, ncols) 0/1 int32 decision bits at positions
+    p = (row_base + r)*ncols_global… — packed along the canonical layout
+    *within this block*: returns (nrows * ncols // 4096, 128) int32 words
+    where word (32a+j)*? … see module docstring.  Requires ncols % 4096
+    == 0 (so word groups don't straddle blocks).
+    """
+    # layout per row: ncols -> (ncols//128 lanes-rows); word g collects 32
+    # consecutive lane-rows at fixed lane.
+    c128 = ncols // 128
+    dd = dd.reshape(nrows * (c128 // 32), 32, 128)
+    shifts = jax.lax.broadcasted_iota(jnp.int32, (1, 32, 1), 1)
+    words = (dd << shifts).sum(axis=1, dtype=jnp.int32)
+    return words  # (nrows * c128//32, 128)
+
+
+def _kernel_a(syms_ref, base_ref, m_ref, out_ref, dec_ref, *, code, nsteps, ta):
+    """Row-pairing steps 0..nsteps-1 on a (2^ROWB, TA) column tile."""
+    w, rowb, colb = _geometry(code)
+    nrows = 1 << rowb
+    mdt = m_ref.dtype
+    c = pl.program_id(1)
+    col0 = c * ta
+
+    m = m_ref[0]  # (nrows, TA)
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, ta), 1) + col0
+    row_iota_full = jax.lax.broadcasted_iota(jnp.int32, (nrows, 1), 0)
+
+    for t in range(nsteps):
+        rh1, cl1, rh2, cl2 = _step_masks(code, t)
+        half = nrows >> (t + 1)
+        v = m.reshape(1 << t, 2, half, ta)
+        lo = v[:, 0]
+        hi = v[:, 1]
+        # positions of lo elements: rows with bit (rowb-1-t) == 0
+        lo_rows = row_iota_full.reshape(1 << t, 2, half, 1)[:, 0]
+        pb0 = (
+            _parity(lo_rows & rh1) ^ _parity(col_iota & cl1)
+        ) ^ code.g1flip
+        pb1 = (
+            _parity(lo_rows & rh2) ^ _parity(col_iota & cl2)
+        ) ^ code.g2flip
+        s0 = syms_ref[pl.program_id(0), 2 * t]
+        s1 = syms_ref[pl.program_id(0), 2 * t + 1]
+        nl, nh, d0, d1 = _acs_pair(lo, hi, pb0, pb1, s0, s1, mdt)
+        m = jnp.stack([nl, nh], axis=1).reshape(nrows, ta)
+        dec = jnp.stack([d0, d1], axis=1).reshape(nrows, ta).astype(jnp.int32)
+        dec_ref[0, t] = _pack_words(dec, nrows, ta).reshape(
+            nrows, ta // 4096, 128
+        )
+    out_ref[0] = m
+
+
+def _kernel_b(syms_ref, base_ref, m_ref, out_ref, dec_ref, *, code, nsteps, rb):
+    """Column-pairing steps ROWB..ROWB+nsteps-1 on a (RB, 2^COLB) row
+    tile (full rows)."""
+    w, rowb, colb = _geometry(code)
+    ncols = 1 << colb
+    mdt = m_ref.dtype
+    r = pl.program_id(1)
+    row0 = r * rb
+
+    m = m_ref[0]  # (rb, ncols)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (rb, 1), 0) + row0
+
+    for j in range(nsteps):
+        t = rowb + j
+        rh1, cl1, rh2, cl2 = _step_masks(code, t)
+        o = 1 << (w - 1 - t)
+        v = m.reshape(rb, ncols // (2 * o), 2, o)
+        lo = v[:, :, 0]
+        hi = v[:, :, 1]
+        col_lo = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, ncols // (2 * o), o), 1)
+            * (2 * o)
+            + jax.lax.broadcasted_iota(jnp.int32, (1, ncols // (2 * o), o), 2)
+        )
+        pb0 = (_parity(row_iota[:, :, None] & rh1) ^ _parity(col_lo & cl1)) ^ code.g1flip
+        pb1 = (_parity(row_iota[:, :, None] & rh2) ^ _parity(col_lo & cl2)) ^ code.g2flip
+        # syms_ref holds only this phase's pairs, indexed by j not t
+        s0 = syms_ref[pl.program_id(0), 2 * j]
+        s1 = syms_ref[pl.program_id(0), 2 * j + 1]
+        nl, nh, d0, d1 = _acs_pair(lo, hi, pb0, pb1, s0, s1, mdt)
+        m = jnp.stack([nl, nh], axis=2).reshape(rb, ncols)
+        dec = jnp.stack([d0, d1], axis=2).reshape(rb, ncols).astype(jnp.int32)
+        dec_ref[0, j] = _pack_words(dec, rb, ncols).reshape(
+            rb, ncols // 4096, 128
+        )
+    out_ref[0] = m
+
+
+@functools.partial(
+    jax.jit, static_argnames=("code", "nsteps", "ta", "interpret")
+)
+def cycle_a(
+    metrics: jax.Array,
+    syms: jax.Array,
+    code: CodeSpec = DEFAULT_CODE,
+    nsteps: int | None = None,
+    ta: int = 8192,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Steps 0..nsteps-1 (row-pairing phase).
+
+    metrics: (B, 2^W) in P_0 layout; syms: (B, 2*nsteps) int32.
+    Returns (metrics after nsteps, decisions (B, nsteps, 2^W//32)).
+    """
+    w, rowb, colb = _geometry(code)
+    if nsteps is None:
+        nsteps = rowb
+    assert 1 <= nsteps <= rowb
+    B, n = metrics.shape
+    nrows = 1 << rowb
+    ncols = 1 << colb
+    ta = min(ta, ncols)
+    assert ncols % ta == 0 and ta % 4096 == 0
+    ntiles = ncols // ta
+
+    m3 = metrics.reshape(B, nrows, ncols)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, ntiles),
+        in_specs=[pl.BlockSpec((1, nrows, ta), lambda b, c, *_: (b, 0, c))],
+        out_specs=(
+            pl.BlockSpec((1, nrows, ta), lambda b, c, *_: (b, 0, c)),
+            pl.BlockSpec(
+                (1, nsteps, nrows, ta // 4096, 128),
+                lambda b, c, *_: (b, 0, 0, c, 0),
+            ),
+        ),
+    )
+    kern = functools.partial(_kernel_a, code=code, nsteps=nsteps, ta=ta)
+    new, dec = pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, nrows, ncols), metrics.dtype),
+            jax.ShapeDtypeStruct(
+                (B, nsteps, nrows, ncols // 4096, 128), jnp.int32
+            ),
+        ),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(syms.astype(jnp.int32), jnp.zeros((B,), jnp.int32), m3)
+    return new.reshape(B, n), dec.reshape(B, nsteps, n // 32).astype(jnp.uint32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("code", "nsteps", "rb", "interpret")
+)
+def cycle_b(
+    metrics: jax.Array,
+    syms: jax.Array,
+    code: CodeSpec = DEFAULT_CODE,
+    nsteps: int | None = None,
+    rb: int = 8,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Steps ROWB..ROWB+nsteps-1 (column-pairing phase).
+
+    metrics: (B, 2^W) in P_ROWB layout; syms: (B, 2*nsteps) for those
+    steps.  Returns (metrics, decisions (B, nsteps, 2^W//32)).
+    """
+    w, rowb, colb = _geometry(code)
+    if nsteps is None:
+        nsteps = w - rowb
+    assert 1 <= nsteps <= w - rowb
+    B, n = metrics.shape
+    nrows = 1 << rowb
+    ncols = 1 << colb
+    rb = min(rb, nrows)
+    assert nrows % rb == 0
+    ntiles = nrows // rb
+
+    m3 = metrics.reshape(B, nrows, ncols)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, ntiles),
+        in_specs=[pl.BlockSpec((1, rb, ncols), lambda b, r, *_: (b, r, 0))],
+        out_specs=(
+            pl.BlockSpec((1, rb, ncols), lambda b, r, *_: (b, r, 0)),
+            pl.BlockSpec(
+                (1, nsteps, rb, ncols // 4096, 128),
+                lambda b, r, *_: (b, 0, r, 0, 0),
+            ),
+        ),
+    )
+    kern = functools.partial(_kernel_b, code=code, nsteps=nsteps, rb=rb)
+    new, dec = pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, nrows, ncols), metrics.dtype),
+            jax.ShapeDtypeStruct(
+                (B, nsteps, nrows, ncols // 4096, 128), jnp.int32
+            ),
+        ),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(syms.astype(jnp.int32), jnp.zeros((B,), jnp.int32), m3)
+    return new.reshape(B, n), dec.reshape(B, nsteps, n // 32).astype(jnp.uint32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nbits", "code", "ta", "rb", "interpret"),
+)
+def update_frame_fused(
+    metrics0: jax.Array,
+    syms: jax.Array,
+    nbits: int,
+    code: CodeSpec = DEFAULT_CODE,
+    ta: int = 8192,
+    rb: int = 8,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """nbits ACS steps via fused cycle kernels; same contract as
+    viterbi_inplace.update_frame_inplace."""
+    B, n = metrics0.shape
+    w, rowb, colb = _geometry(code)
+    if syms.ndim == 1:
+        syms = syms[None, :]
+    syms = jnp.broadcast_to(
+        syms.astype(jnp.int32).reshape(-1, nbits, 2), (B, nbits, 2)
+    )
+    flat = syms.reshape(B, 2 * nbits)
+
+    ncycles = nbits // w
+    rem = nbits - ncycles * w
+
+    def renorm(m, total):
+        gmin = m.min(axis=1, keepdims=True)
+        return m - gmin, total + gmin[:, 0].astype(jnp.int32)
+
+    def one_cycle(carry, sym_cycle):
+        m, total = carry
+        sa = sym_cycle[:, : 2 * rowb]
+        sb = sym_cycle[:, 2 * rowb :]
+        m, deca = cycle_a(m, sa, code, rowb, ta, interpret)
+        m, decb = cycle_b(m, sb, code, w - rowb, rb, interpret)
+        m, total = renorm(m, total)
+        return (m, total), jnp.concatenate([deca, decb], axis=1)
+
+    total0 = jnp.zeros((B,), jnp.int32)
+    if ncycles > 0:
+        cyc_syms = flat[:, : 2 * ncycles * w].reshape(B, ncycles, 2 * w)
+        cyc_syms = jnp.swapaxes(cyc_syms, 0, 1)  # (ncycles, B, 2w)
+        (m, total), decs = jax.lax.scan(one_cycle, (metrics0, total0), cyc_syms)
+        # decs: (ncycles, B, w, n//32) → (ncycles*w, B, n//32)
+        decs = jnp.swapaxes(decs, 1, 2).reshape(ncycles * w, B, n // 32)
+    else:
+        m, total = metrics0, total0
+        decs = jnp.zeros((0, B, n // 32), jnp.uint32)
+
+    if rem:
+        start = 2 * ncycles * w
+        na = min(rem, rowb)
+        m, deca = cycle_a(
+            m, jax.lax.dynamic_slice_in_dim(flat, start, 2 * na, axis=1),
+            code, na, ta, interpret,
+        )
+        parts = [deca]
+        if rem > rowb:
+            nb = rem - rowb
+            m, decb = cycle_b(
+                m,
+                jax.lax.dynamic_slice_in_dim(
+                    flat, start + 2 * rowb, 2 * nb, axis=1
+                ),
+                code, nb, rb, interpret,
+            )
+            parts.append(decb)
+        m, total = renorm(m, total)
+        rem_dec = jnp.concatenate(parts, axis=1)  # (B, rem, n//32)
+        decs = jnp.concatenate(
+            [decs, jnp.swapaxes(rem_dec, 0, 1)], axis=0
+        )
+    return m, decs, total
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nbits", "code", "dtype", "ta", "rb", "interpret"),
+)
+def decode_frame_fused(
+    syms: jax.Array,
+    nbits: int,
+    start_state: int | jax.Array = 0,
+    end_state: int | jax.Array = 0,
+    code: CodeSpec = DEFAULT_CODE,
+    dtype: jnp.dtype = jnp.int16,
+    ta: int = 8192,
+    rb: int = 8,
+    interpret: bool = False,
+) -> jax.Array:
+    """Full frame decode with the fused-cycle kernels."""
+    if syms.ndim == 1:
+        syms = syms[None, :]
+    B = syms.shape[0]
+    n = code.nstates
+    start = jnp.broadcast_to(
+        jnp.asarray(start_state, jnp.int32) & code.state_mask, (B,)
+    )
+    metrics = jnp.full((B, n), vit.START_BIAS, dtype)
+    metrics = metrics.at[jnp.arange(B), start].set(0)
+    _, decs, _ = update_frame_fused(
+        metrics, syms, nbits, code, ta, rb, interpret
+    )
+    return chainback_inplace(decs, nbits, end_state, code)

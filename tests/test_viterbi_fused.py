@@ -1,0 +1,64 @@
+"""Fused-cycle Pallas Viterbi kernels vs the reference kernel
+(interpret mode on CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from isee3_decoder_tpu.config import MCQLI24, CodeSpec
+from isee3_decoder_tpu.ops import encode_bits, viterbi
+from isee3_decoder_tpu.ops.viterbi_pallas_fused import decode_frame_fused
+
+K15 = CodeSpec("TESTK15", 0o46321, 0o51445, 15, 0, 1)
+
+
+def noisy(rng, code, nbits):
+    bits = rng.integers(0, 2, nbits, dtype=np.uint8)
+    bits[-(code.k - 1):] = 0
+    syms, _ = encode_bits(jnp.asarray(bits), 0, code)
+    return bits, np.clip(
+        np.where(np.asarray(syms) > 0, 170, 86).astype(np.int32)
+        + rng.integers(-80, 80, 2 * nbits),
+        0, 255,
+    ).astype(np.uint8)
+
+
+@pytest.mark.parametrize("nbits", [9, 14, 42, 61])
+def test_fused_matches_reference_k15(nbits):
+    """Sub-cycle, cycle-aligned, and remainder lengths."""
+    rng = np.random.default_rng(nbits)
+    bits, rx = noisy(rng, K15, nbits)
+    want = np.asarray(viterbi.decode_frame(jnp.asarray(rx), nbits, 0, 0, K15))
+    got = np.asarray(
+        decode_frame_fused(jnp.asarray(rx), nbits, 0, 0, K15, interpret=True)
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_fused_batched_nonzero_states():
+    rng = np.random.default_rng(1)
+    B, nbits = 2, 30
+    rxs, bitss = [], []
+    for _ in range(B):
+        bits, rx = noisy(rng, K15, nbits)
+        rxs.append(rx)
+        bitss.append(bits)
+    rx = jnp.asarray(np.stack(rxs))
+    start, end = 0x0AAA & K15.state_mask, 0
+    want = np.asarray(viterbi.decode_frame(rx, nbits, start, end, K15))
+    got = np.asarray(
+        decode_frame_fused(rx, nbits, start, end, K15, interpret=True)
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_fused_mcqli24_smoke():
+    rng = np.random.default_rng(2)
+    nbits = 48
+    bits, rx = noisy(rng, MCQLI24, nbits)
+    want = np.asarray(viterbi.decode_frame(jnp.asarray(rx), nbits, 0, 0, MCQLI24))
+    got = np.asarray(
+        decode_frame_fused(jnp.asarray(rx), nbits, 0, 0, MCQLI24, interpret=True)
+    )
+    np.testing.assert_array_equal(got, want)
+    np.testing.assert_array_equal(got[0], bits)
