@@ -45,8 +45,15 @@ class FanoResult(NamedTuple):
 
 
 def _parity(x: jax.Array) -> jax.Array:
-    """Parity of the set bits (encode.c:4-6) via population count."""
-    return (jax.lax.population_count(x.astype(jnp.uint32)) & 1).astype(jnp.int32)
+    """Parity of the set bits (encode.c:4-6) via XOR folding — avoids
+    population_count, which some TPU backends lack."""
+    x = x.astype(jnp.int32)
+    x = x ^ (x >> 16)
+    x = x ^ (x >> 8)
+    x = x ^ (x >> 4)
+    x = x ^ (x >> 2)
+    x = x ^ (x >> 1)
+    return x & 1
 
 
 def _makesyms(enc: jax.Array, code: CodeSpec) -> jax.Array:

@@ -47,6 +47,17 @@ from isee3_decoder_tpu.config import DEFAULT_CODE, CodeSpec
 from isee3_decoder_tpu.ops import viterbi as vit
 
 
+def _parity32(x):
+    """Elementwise parity by XOR folding (no population_count — absent on
+    some TPU backends)."""
+    x = x ^ (x >> 16)
+    x = x ^ (x >> 8)
+    x = x ^ (x >> 4)
+    x = x ^ (x >> 2)
+    x = x ^ (x >> 1)
+    return x & 1
+
+
 def _rotr(x: int, t: int, w: int) -> int:
     t %= w
     mask = (1 << w) - 1
@@ -106,8 +117,8 @@ def _step_inplace(metrics, syms, t: int, code: CodeSpec):
     pq = jax.lax.broadcasted_iota(jnp.int32, (nh, o), 0) * (2 * o)
     pr = jax.lax.broadcasted_iota(jnp.int32, (nh, o), 1)
     p = pq + pr
-    b0 = (jax.lax.population_count(p & m1) & 1) ^ code.g1flip
-    b1 = (jax.lax.population_count(p & m2) & 1) ^ code.g2flip
+    b0 = _parity32(p & m1) ^ code.g1flip
+    b1 = _parity32(p & m2) ^ code.g2flip
 
     s0 = syms[:, 0:1, None]
     s1 = syms[:, 1:2, None]

@@ -81,7 +81,13 @@ def _acs_pair(lo, hi, b0, b1, s0, s1, mdt):
 
 
 def _parity(x):
-    return jax.lax.population_count(x) & 1
+    """XOR-fold parity (Mosaic-safe; no population_count dependency)."""
+    x = x ^ (x >> 16)
+    x = x ^ (x >> 8)
+    x = x ^ (x >> 4)
+    x = x ^ (x >> 2)
+    x = x ^ (x >> 1)
+    return x & 1
 
 
 def _pack_words(dd, nrows, ncols):
