@@ -46,6 +46,25 @@ from isee3_decoder_tpu.utils.metrics import decoder_amplitudes, gen_met
 DECODER_NONE, DECODER_VITERBI, DECODER_FANO = 0, 1, 2
 
 
+def _viterbi_decode(fsyms, cfg: "DecodeConfig"):
+    """Dispatch the frame decode to the configured Viterbi kernel."""
+    if cfg.viterbi_backend == "fused":
+        from isee3_decoder_tpu.ops.viterbi_pallas_fused import decode_frame_fused
+
+        return decode_frame_fused(
+            fsyms, FRAMEBITS, SYNC_STATE, SYNC_STATE, cfg.code
+        )
+    if cfg.viterbi_backend == "inplace":
+        from isee3_decoder_tpu.ops.viterbi_inplace import decode_frame_inplace
+
+        return decode_frame_inplace(
+            fsyms, FRAMEBITS, SYNC_STATE, SYNC_STATE, cfg.code
+        )
+    return viterbi.decode_frame(
+        fsyms, FRAMEBITS, SYNC_STATE, SYNC_STATE, cfg.code
+    )
+
+
 @dataclasses.dataclass(frozen=True)
 class DecodeConfig:
     """Static decode configuration (decode.c:65-73 defaults)."""
@@ -57,8 +76,8 @@ class DecodeConfig:
     fano_delta: int = 32  # 4 * scale
     fano_maxcycles: int = 100
     code: CodeSpec = DEFAULT_CODE
-    #: Viterbi kernel: "jnp" (reference) or "inplace" (rotating-layout
-    #: TPU kernel, ops/viterbi_inplace.py) — bit-identical outputs.
+    #: Viterbi kernel: "jnp" (reference), "inplace" (rotating-layout XLA
+    #: kernel) or "fused" (fused-cycle Pallas kernels) — bit-identical.
     viterbi_backend: str = "jnp"
 
     def mettab(self) -> np.ndarray:
@@ -167,18 +186,7 @@ def decode_stream(
                 need_vit = (cfg.persistent | state.lock) & ~decode_ok
             if need_vit.any():
                 sub = np.nonzero(need_vit)[0]
-                if cfg.viterbi_backend == "inplace":
-                    from isee3_decoder_tpu.ops.viterbi_inplace import (
-                        decode_frame_inplace,
-                    )
-
-                    vbits = decode_frame_inplace(
-                        fsyms[sub], FRAMEBITS, SYNC_STATE, SYNC_STATE, cfg.code
-                    )
-                else:
-                    vbits = viterbi.decode_frame(
-                        fsyms[sub], FRAMEBITS, SYNC_STATE, SYNC_STATE, cfg.code
-                    )
+                vbits = _viterbi_decode(fsyms[sub], cfg)
                 bits[sub] = np.asarray(vbits)
                 decoder[sub] = DECODER_VITERBI
                 decode_ok[sub] = True  # Viterbi always returns a frame
@@ -261,18 +269,7 @@ def decode_frames_batch(
         need = ~decode_ok if cfg.fano_enabled else np.ones(B * nframes, bool)
         if need.any():
             sub = np.nonzero(need)[0]
-            if cfg.viterbi_backend == "inplace":
-                from isee3_decoder_tpu.ops.viterbi_inplace import (
-                    decode_frame_inplace,
-                )
-
-                vbits = decode_frame_inplace(
-                    fdev[sub], FRAMEBITS, SYNC_STATE, SYNC_STATE, cfg.code
-                )
-            else:
-                vbits = viterbi.decode_frame(
-                    fdev[sub], FRAMEBITS, SYNC_STATE, SYNC_STATE, cfg.code
-                )
+            vbits = _viterbi_decode(fdev[sub], cfg)
             bits[sub] = np.asarray(vbits)
             decoder[sub] = DECODER_VITERBI
             decode_ok[sub] = True
