@@ -42,6 +42,28 @@ def main(argv=None) -> int:
     bits = res.bits[0]
     sys.stdout.write("".join("1" if b else "0" for b in bits))
     sys.stdout.flush()
+    if not a.quiet and a.status_interval:
+        # periodic symbol-error-rate statuses (vdecode.c:180-184), from
+        # the per-interval re-encode comparison
+        import numpy as _np
+
+        from isee3_decoder_tpu.config import DEFAULT_CODE
+        from isee3_decoder_tpu.ops import encode_bits as _enc
+
+        lag = DEFAULT_CODE.k - 2
+        if bits.shape[0] > lag:
+            data_bits = bits[lag:]
+            re_syms = _np.asarray(_enc(jnp.asarray(data_bits), 0)[0])
+            hard = (np.asarray(symbols)[0, : re_syms.shape[0]] > 128).astype(
+                _np.uint8
+            )
+            errs = re_syms != hard[: re_syms.shape[0]]
+            for i in range(a.status_interval, len(data_bits), a.status_interval):
+                seg = errs[2 * (i - a.status_interval) : 2 * i]
+                status(
+                    f"vdecode: bits {i:,}; symerrs {int(seg.sum()):,}"
+                    f"/{len(seg):,} {100.0 * seg.mean():.3g}%"
+                )
     if not a.quiet:
         nsym = 2 * bits.shape[0]
         status(

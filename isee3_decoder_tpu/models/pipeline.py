@@ -75,6 +75,39 @@ def demod_to_symbols(
     return soft, baseband, pm_out.carrier_freq, pm_out.cn0
 
 
+def run_wideband(
+    iq_wide: np.ndarray,
+    samprate: float,
+    nchan: int,
+    channels: list[int] | None = None,
+    cfg: PipelineConfig | None = None,
+    taps_per_branch: int = 8,
+) -> PipelineResult:
+    """Wideband capture → channelize → per-channel receive chain.
+
+    Args:
+      iq_wide: (L,) complex wideband samples at ``samprate``.
+      nchan: polyphase channel count (per-channel rate samprate/nchan).
+      channels: channel indices to demodulate (default: all).
+      cfg: pipeline config for the *channel* rate; defaults to the
+        standard 512 bps config at samprate/nchan.
+    """
+    import jax.numpy as jnp
+
+    from isee3_decoder_tpu.ops.channelizer import channelize
+
+    fs_out = samprate / nchan
+    if cfg is None:
+        cfg = PipelineConfig(
+            pm=PMConfig(samprate=fs_out, binsize=4.0, search_width=200.0),
+            sym=SymConfig(samprate=fs_out),
+        )
+    y = channelize(jnp.asarray(iq_wide), nchan, taps_per_branch)[0]
+    if channels is not None:
+        y = y[jnp.asarray(channels)]
+    return run_pipeline(np.asarray(y), cfg)
+
+
 def run_pipeline(iq: np.ndarray, cfg: PipelineConfig = PipelineConfig()) -> PipelineResult:
     """End-to-end: IQ in, decoded frames out (the full
     ``pmdemod | symdemod | decode`` chain)."""
