@@ -29,6 +29,9 @@ def main(argv=None) -> int:
     p.add_argument("-s", type=float, default=8.0, dest="fano_scale")
     p.add_argument("-m", type=int, default=100, dest="fano_maxcycles")
     p.add_argument("-d", type=int, default=None, dest="fano_delta")
+    p.add_argument("--backend", default="jnp",
+                   choices=["jnp", "inplace", "fused"],
+                   help="Viterbi kernel backend (bit-identical outputs)")
     a = p.parse_args(argv)
 
     force_cpu_if_requested()
@@ -52,6 +55,7 @@ def main(argv=None) -> int:
         fano_scale=a.fano_scale,
         fano_delta=delta,
         fano_maxcycles=a.fano_maxcycles,
+        viterbi_backend=a.backend,
     )
     print(
         f"decode: Fano {'enabled' if fano_enabled else 'disabled'}; "

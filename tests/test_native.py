@@ -79,3 +79,24 @@ def test_stream_reader_pipe():
     os.waitpid(pid, 0)
     os.close(r)
     assert got == payload
+
+
+def test_native_viterbi_full_k24_frame():
+    """Cross-implementation check on the real code at a useful length:
+    the C++ oracle and the JAX kernel agree on a noisy MCQLI-24 frame."""
+    rng = np.random.default_rng(5)
+    nbits = 96
+    bits = rng.integers(0, 2, nbits, dtype=np.uint8)
+    bits[-(MCQLI24.k - 1):] = 0
+    syms, _ = encode_bits(jnp.asarray(bits), 0, MCQLI24)
+    noisy = np.clip(
+        np.where(np.asarray(syms) > 0, 170, 86).astype(np.int32)
+        + rng.integers(-75, 75, 2 * nbits),
+        0, 255,
+    ).astype(np.uint8)
+    got = native.viterbi_decode_frame(noisy, nbits, 0, 0, MCQLI24)
+    want = np.asarray(
+        viterbi.decode_frame(jnp.asarray(noisy), nbits, 0, 0, MCQLI24)
+    )[0]
+    np.testing.assert_array_equal(got, want)
+    np.testing.assert_array_equal(got, bits)
