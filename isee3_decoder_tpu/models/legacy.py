@@ -95,12 +95,31 @@ def vdecode_stream(
     nbits = L // 2
     syms = symbols[:, : nbits * 2]
 
-    # Full-tape update + vectorized fixed-delay chainbacks: identical
-    # output to the per-pair update/decodebit loop of vdecode.c, but one
-    # device program instead of nbits dispatches.
-    st = viterbi.create(nbits, B, code, 0)
-    st = viterbi.update_blk(st, jnp.asarray(syms), code)
-    bits = np.asarray(viterbi.streaming_decodebits(st, decode_delay, code))
+    # Chunked update + vectorized fixed-delay chainbacks: identical
+    # output to the per-pair update/decodebit loop of vdecode.c, but a
+    # handful of device programs instead of nbits dispatches, and tape
+    # memory bounded at (chunk + delay) planes so arbitrarily long
+    # streams fit (the role of the reference's circular decision buffer,
+    # vdecode.c:94).
+    chunk = 4096
+    st = viterbi.create(min(nbits, chunk) + decode_delay, B, code, 0)
+    bits_parts = []
+    done_bits = 0
+    while done_bits < nbits:
+        n = min(chunk, nbits - done_bits)
+        st = viterbi.update_blk(
+            st, jnp.asarray(syms[:, 2 * done_bits : 2 * (done_bits + n)]), code
+        )
+        # all end-times whose full `delay` lookback is on the tape
+        lo = decode_delay if done_bits == 0 else 0
+        out = viterbi.streaming_decodebits_window(st, decode_delay, n - lo, code)
+        bits_parts.append(np.asarray(out))
+        done_bits += n
+    bits = (
+        np.concatenate(bits_parts, axis=1)
+        if bits_parts
+        else np.zeros((B, 0), np.uint8)
+    )
 
     # Re-encode self-check (vdecode.c:155-183): compare re-encoded symbols
     # against hard-sliced received symbols at the matching lag.

@@ -353,6 +353,46 @@ def streaming_decodebits(
     return out.T
 
 
+@functools.partial(jax.jit, static_argnames=("delay", "count", "code"))
+def streaming_decodebits_window(
+    state: ViterbiState,
+    delay: int,
+    count: int,
+    code: CodeSpec = DEFAULT_CODE,
+) -> jax.Array:
+    """Fixed-delay streaming outputs for the last ``count`` trellis steps
+    on a circular tape.
+
+    Output j corresponds to end time dp-count+j (i.e. the j-th of the
+    last ``count`` updates) and equals decodebit(delay) as issued right
+    after that update.  Requires tape_len >= count + delay.
+    """
+    B = state.metrics.shape[0]
+    k = code.k
+    tape_len = jnp.int32(state.tape_len)
+
+    def one_end_time(offset):
+        # end slot for this output: last written slot minus offset
+        def step(endstate, d):
+            slot = jax.lax.rem(
+                state.dp - 1 - offset - d + 4 * tape_len, tape_len
+            )
+            bit = _tape_bit(state.decisions, slot, endstate)
+            endstate = (bit << (k - 2)) | (endstate >> 1)
+            return endstate, bit
+
+        _, bits = jax.lax.scan(
+            step,
+            jnp.zeros((B,), jnp.uint32),
+            jnp.arange(delay, dtype=jnp.int32),
+        )
+        return bits[-1].astype(jnp.uint8)
+
+    offsets = jnp.arange(count - 1, -1, -1, dtype=jnp.int32)
+    out = jax.vmap(one_end_time)(offsets)  # (count, B)
+    return out.T
+
+
 @functools.partial(jax.jit, static_argnames=("delay", "code"))
 def decodeword(
     state: ViterbiState,
