@@ -15,6 +15,20 @@ import numpy as np
 from isee3_decoder_tpu.cli._io import force_cpu_if_requested
 
 
+def _decode(rx, nbits, code, backend):
+    if backend == "fused":
+        from isee3_decoder_tpu.ops.viterbi_pallas_fused import decode_frame_fused
+
+        return decode_frame_fused(rx, nbits, 0, 0, code)
+    if backend == "inplace":
+        from isee3_decoder_tpu.ops.viterbi_inplace import decode_frame_inplace
+
+        return decode_frame_inplace(rx, nbits, 0, 0, code)
+    from isee3_decoder_tpu.ops import viterbi
+
+    return viterbi.decode_frame(rx, nbits, 0, 0, code)
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="hybridtest")
     p.add_argument("-d", "--delta", type=int, default=4)
@@ -26,6 +40,9 @@ def main(argv=None) -> int:
     p.add_argument("-s", "--signal", type=float, default=30.0)
     p.add_argument("-b", "--batch", type=int, default=64)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--backend", default="jnp",
+                   choices=["jnp", "inplace", "fused"],
+                   help="Viterbi kernel backend (bit-identical outputs)")
     p.add_argument("-v", "--verbose", action="count", default=0)
     p.add_argument("-z", "--zerodata", action="store_true")
     a = p.parse_args(argv)
@@ -83,9 +100,7 @@ def main(argv=None) -> int:
         if retry.any():
             sub_idx = np.nonzero(retry)[0]
             vit_attempts += len(sub_idx)
-            vbits = np.asarray(
-                viterbi.decode_frame(rx[sub_idx], nbits, 0, 0, code)
-            )
+            vbits = np.asarray(_decode(rx[sub_idx], nbits, code, a.backend))
             verrs = (vbits != bits[sub_idx]).sum(axis=1)
             vit_good += int((verrs == 0).sum())
             vit_frame_errors += int((verrs != 0).sum())

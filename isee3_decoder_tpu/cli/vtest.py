@@ -19,6 +19,20 @@ import numpy as np
 from isee3_decoder_tpu.cli._io import force_cpu_if_requested
 
 
+def _decode(rx, nbits, code, backend):
+    if backend == "fused":
+        from isee3_decoder_tpu.ops.viterbi_pallas_fused import decode_frame_fused
+
+        return decode_frame_fused(rx, nbits, 0, 0, code)
+    if backend == "inplace":
+        from isee3_decoder_tpu.ops.viterbi_inplace import decode_frame_inplace
+
+        return decode_frame_inplace(rx, nbits, 0, 0, code)
+    from isee3_decoder_tpu.ops import viterbi
+
+    return viterbi.decode_frame(rx, nbits, 0, 0, code)
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="vtest")
     p.add_argument("-l", "--frame-length", type=int, default=1024, dest="framebits")
@@ -27,6 +41,9 @@ def main(argv=None) -> int:
     p.add_argument("-g", "--gain", type=float, default=24.0)
     p.add_argument("-b", "--batch", type=int, default=8)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--backend", default="jnp",
+                   choices=["jnp", "inplace", "fused"],
+                   help="Viterbi kernel backend (bit-identical outputs)")
     p.add_argument("-v", "--verbose", action="count", default=0)
     a = p.parse_args(argv)
 
@@ -61,7 +78,7 @@ def main(argv=None) -> int:
             key, sub = jax.random.split(key)
             rx = simulate(sub, syms, a.gain, noise)
             t0 = time.perf_counter()
-            decoded = viterbi.decode_frame(rx, nbits, 0, 0, code)
+            decoded = _decode(rx, nbits, code, a.backend)
             decoded = np.asarray(jax.block_until_ready(decoded))
             t_decode += time.perf_counter() - t0
             errs = (decoded != bits).sum(axis=1)
@@ -81,14 +98,14 @@ def main(argv=None) -> int:
     else:
         print("Starting time trials")
         syms = jnp.full((a.batch, 2 * nbits), 128, jnp.uint8)  # erasures
-        decoded = viterbi.decode_frame(syms, nbits, 0, 0, code)  # warmup
+        decoded = _decode(syms, nbits, code, a.backend)  # warmup
         import jax
 
         jax.block_until_ready(decoded)
         t0 = time.perf_counter()
         done = 0
         while done < a.trials:
-            decoded = viterbi.decode_frame(syms, nbits, 0, 0, code)
+            decoded = _decode(syms, nbits, code, a.backend)
             jax.block_until_ready(decoded)
             done += a.batch
         extime = time.perf_counter() - t0
