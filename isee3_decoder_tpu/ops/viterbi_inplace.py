@@ -37,6 +37,7 @@ tests cross-validate decisions, metrics, and decoded bits.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
@@ -258,6 +259,127 @@ def chainback_inplace(
     ts = jnp.arange(nbits - 1, -1, -1, dtype=jnp.int32)
     _, bits = jax.lax.scan(step, end, ts)
     return jnp.flip(bits.T, axis=-1)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class StreamState:
+    """Streaming decoder state for the rotating-layout kernel: the fast
+    kernel's version of the circular decision memory that makes
+    unbounded decoding possible (viterbi224_sse2.c:379-380)."""
+
+    metrics: jax.Array  # (B, 2^W) in layout P_{total mod W}
+    decisions: jax.Array  # (L, B, n//32) circular tape of packed planes
+    dp: jax.Array  # () int32 next write slot
+    total: jax.Array  # () int32 absolute trellis steps so far
+    renorm: jax.Array  # (B,) int32
+
+
+def stream_create(
+    tape_len: int,
+    batch: int = 1,
+    code: CodeSpec = DEFAULT_CODE,
+    start_state: int | jax.Array = 0,
+    dtype: jnp.dtype = jnp.int16,
+) -> StreamState:
+    n = code.nstates
+    start = jnp.broadcast_to(
+        jnp.asarray(start_state, jnp.int32) & code.state_mask, (batch,)
+    )
+    metrics = jnp.full((batch, n), vit.START_BIAS, dtype)
+    metrics = metrics.at[jnp.arange(batch), start].set(0)
+    return StreamState(
+        metrics=metrics,
+        decisions=jnp.zeros((tape_len, batch, n // 32), jnp.uint32),
+        dp=jnp.zeros((), jnp.int32),
+        total=jnp.zeros((), jnp.int32),
+        renorm=jnp.zeros((batch,), jnp.int32),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("code",), donate_argnums=(0,))
+def stream_update(
+    state: StreamState,
+    syms: jax.Array,
+    code: CodeSpec = DEFAULT_CODE,
+) -> StreamState:
+    """Advance the streaming decoder by the given symbol pairs.
+
+    The per-step layout rotation depends on the absolute step count, so
+    the scan body switches between the W static step variants.
+    Renormalization runs every step (decision-invariant).
+    """
+    w = code.k - 1
+    B = state.metrics.shape[0]
+    if syms.ndim == 1:
+        syms = syms[None, :]
+    nbits = syms.shape[-1] // 2
+    syms3 = jnp.broadcast_to(
+        syms.astype(jnp.int32).reshape(-1, nbits, 2), (B, nbits, 2)
+    )
+    syms3 = jnp.swapaxes(syms3, 0, 1)
+    L = state.decisions.shape[0]
+
+    branches = [
+        (lambda m, s, t=t: _step_inplace(m, s, t, code)) for t in range(w)
+    ]
+
+    def body(carry, sym_t):
+        m, tape, dp, total, renorm = carry
+        m, packed = jax.lax.switch(jnp.mod(total, w), branches, m, sym_t)
+        gmin = m.min(axis=1, keepdims=True)
+        m = m - gmin
+        renorm = renorm + gmin[:, 0].astype(jnp.int32)
+        tape = jax.lax.dynamic_update_index_in_dim(tape, packed, dp, axis=0)
+        dp = jax.lax.rem(dp + 1, jnp.int32(L))
+        return (m, tape, dp, total + 1, renorm), None
+
+    (m, tape, dp, total, renorm), _ = jax.lax.scan(
+        body,
+        (state.metrics, state.decisions, state.dp, state.total, state.renorm),
+        syms3,
+    )
+    return StreamState(
+        metrics=m, decisions=tape, dp=dp, total=total, renorm=renorm
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("delay", "count", "code"))
+def stream_decodebits(
+    state: StreamState,
+    delay: int,
+    count: int,
+    code: CodeSpec = DEFAULT_CODE,
+) -> jax.Array:
+    """Fixed-delay outputs for the last ``count`` steps (vdecode mode on
+    the fast kernel).  Requires tape_len >= count + delay."""
+    w = code.k - 1
+    k = code.k
+    B = state.metrics.shape[0]
+    L = jnp.int32(state.decisions.shape[0])
+    mask = jnp.int32(2**w - 1)
+
+    def one(offset):
+        def step(endstate, d):
+            # plane for absolute step T = total-1-offset-d, layout (T+1)%w
+            T = state.total - 1 - offset - d
+            slot = jax.lax.rem(state.dp - 1 - offset - d + 4 * L, L)
+            r = jnp.mod(T + 1, w)
+            s = endstate.astype(jnp.int32)
+            p = ((s >> r) | (s << (w - r))) & mask
+            bit = _pos_bit(state.decisions[slot], p).astype(jnp.int32)
+            endstate = ((bit << (k - 2)) | (s >> 1)).astype(jnp.uint32)
+            return endstate, bit
+
+        _, bits = jax.lax.scan(
+            step,
+            jnp.zeros((B,), jnp.uint32),
+            jnp.arange(delay, dtype=jnp.int32),
+        )
+        return bits[-1].astype(jnp.uint8)
+
+    offsets = jnp.arange(count - 1, -1, -1, dtype=jnp.int32)
+    return jax.vmap(one)(offsets).T
 
 
 @functools.partial(jax.jit, static_argnames=("nbits", "code", "dtype"))

@@ -93,3 +93,28 @@ def test_final_metrics_match_after_unpermute():
     s = np.arange(K15.nstates)
     pos = np.asarray(vip.state_position(s, nbits, K15))
     np.testing.assert_array_equal(m[pos], ref_m)
+
+
+def test_streaming_fast_kernel_matches_classic():
+    """Rotating-layout streaming mode (bounded circular tape, chunked
+    feeding) reproduces the classic kernel's fixed-delay outputs."""
+    rng = np.random.default_rng(21)
+    nbits, delay = 300, 60
+    bits = rng.integers(0, 2, nbits, dtype=np.uint8)
+    syms, _ = encode_bits(jnp.asarray(bits), 0, K15)
+    soft = np.where(np.asarray(syms) > 0, 200, 56).astype(np.uint8)
+
+    st = vip.stream_create(163 + delay + 1, 1, K15, 0)
+    outs, done = [], 0
+    for chunk in (37, 100, 163):
+        st = vip.stream_update(st, jnp.asarray(soft[2 * done : 2 * (done + chunk)]), K15)
+        done += chunk
+        lo = max(delay - (done - chunk), 0)
+        if chunk - lo > 0:
+            outs.append(np.asarray(vip.stream_decodebits(st, delay, chunk - lo, K15)))
+    got = np.concatenate(outs, axis=1)
+
+    st2 = viterbi.create(nbits, 1, K15, 0)
+    st2 = viterbi.update_blk(st2, jnp.asarray(soft), K15)
+    want = np.asarray(viterbi.streaming_decodebits(st2, delay, K15))
+    np.testing.assert_array_equal(got, want)
