@@ -66,18 +66,34 @@ def _step_masks(code: CodeSpec, t: int) -> tuple[int, int, int, int]:
 
 
 def _acs_pair(lo, hi, b0, b1, s0, s1, mdt):
+    """Bool-free ACS: decisions via the sign bit of the difference and
+    survivors via mask-select.  Same tie-break as the reference (keep
+    a0/a2 on equality, viterbi224_sse2.c:303-321).  Bool/i16 vector ops
+    are avoided deliberately — the axon Mosaic build cannot legalize
+    minsi/cmpi on packed i16 nor i1 reshapes."""
     metric = ((s0 + b0 * (255 - 2 * s0)) + (s1 + b1 * (255 - 2 * s1))).astype(mdt)
     m_metric = jnp.asarray(510, mdt) - metric
     a0 = lo + metric
     a1 = hi + m_metric
     a2 = lo + m_metric
     a3 = hi + metric
+    d0 = (a1 - a0) >> 31 & 1  # a0 > a1
+    d1 = (a3 - a2) >> 31 & 1  # a2 > a3
     return (
-        jnp.minimum(a0, a1),
-        jnp.minimum(a2, a3),
-        a0 > a1,
-        a2 > a3,
+        _isel(d0, a1, a0),
+        _isel(d1, a3, a2),
+        d0,
+        d1,
     )
+
+
+def _isel(bit, x, y):
+    """Branchless select: x where bit==1 else y (bit in {0,1} int32).
+
+    Bool vectors are avoided entirely — the axon Mosaic build fails on
+    i1 reshapes, i8->i1 truncations, and packed-i16 compares.
+    """
+    return y ^ ((x ^ y) & -bit)
 
 
 def _parity(x):
@@ -107,14 +123,20 @@ def _pack_words(dd, nrows, ncols):
 
 
 def _kernel_a(syms_ref, base_ref, m_ref, out_ref, dec_ref, *, code, nsteps, ta):
-    """Row-pairing steps 0..nsteps-1 on a (2^ROWB, TA) column tile."""
+    """Row-pairing steps 0..nsteps-1 on a (2^ROWB, TA) column tile.
+
+    Arithmetic runs in int32 regardless of the HBM metric dtype: the
+    axon Mosaic build cannot legalize compare/min on packed int16
+    vregs.  The int16 range is maintained by the per-cycle renorm, so
+    the final downcast is lossless.
+    """
     w, rowb, colb = _geometry(code)
     nrows = 1 << rowb
-    mdt = m_ref.dtype
+    mdt = jnp.int32
     c = pl.program_id(1)
     col0 = c * ta
 
-    m = m_ref[0]  # (nrows, TA)
+    m = m_ref[0].astype(jnp.int32)  # (nrows, TA)
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, ta), 1) + col0
     row_iota_full = jax.lax.broadcasted_iota(jnp.int32, (nrows, 1), 0)
 
@@ -136,49 +158,61 @@ def _kernel_a(syms_ref, base_ref, m_ref, out_ref, dec_ref, *, code, nsteps, ta):
         s1 = syms_ref[pl.program_id(0), 2 * t + 1]
         nl, nh, d0, d1 = _acs_pair(lo, hi, pb0, pb1, s0, s1, mdt)
         m = jnp.stack([nl, nh], axis=1).reshape(nrows, ta)
-        dec = jnp.stack([d0, d1], axis=1).reshape(nrows, ta).astype(jnp.int32)
+        dec = jnp.stack([d0, d1], axis=1).reshape(nrows, ta)
+        # (colgroup, 128) merged into one trailing dim so the Mosaic
+        # block-shape rule (last dim block divisible by 128) holds when a
+        # column tile covers only part of the row's word groups.
         dec_ref[0, t] = _pack_words(dec, nrows, ta).reshape(
-            nrows, ta // 4096, 128
+            nrows, (ta // 4096) * 128
         )
-    out_ref[0] = m
+    out_ref[0] = m.astype(out_ref.dtype)
 
 
 def _kernel_b(syms_ref, base_ref, m_ref, out_ref, dec_ref, *, code, nsteps, rb):
     """Column-pairing steps ROWB..ROWB+nsteps-1 on a (RB, 2^COLB) row
-    tile (full rows)."""
+    tile (full rows).  int32 arithmetic — see _kernel_a.
+
+    The butterfly partner m[p ^ o] is fetched with two static rolls of
+    the column axis plus a select; reshape-based pairing is impossible
+    here because Mosaic cannot shape-cast once the pair offset drops
+    below a lane tile (o < 128).
+    """
     w, rowb, colb = _geometry(code)
     ncols = 1 << colb
-    mdt = m_ref.dtype
     r = pl.program_id(1)
     row0 = r * rb
 
-    m = m_ref[0]  # (rb, ncols)
+    m = m_ref[0].astype(jnp.int32)  # (rb, ncols)
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (rb, 1), 0) + row0
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (rb, ncols), 1)
 
     for j in range(nsteps):
         t = rowb + j
         rh1, cl1, rh2, cl2 = _step_masks(code, t)
-        o = 1 << (w - 1 - t)
-        v = m.reshape(rb, ncols // (2 * o), 2, o)
-        lo = v[:, :, 0]
-        hi = v[:, :, 1]
-        col_lo = (
-            jax.lax.broadcasted_iota(jnp.int32, (1, ncols // (2 * o), o), 1)
-            * (2 * o)
-            + jax.lax.broadcasted_iota(jnp.int32, (1, ncols // (2 * o), o), 2)
-        )
-        pb0 = (_parity(row_iota[:, :, None] & rh1) ^ _parity(col_lo & cl1)) ^ code.g1flip
-        pb1 = (_parity(row_iota[:, :, None] & rh2) ^ _parity(col_lo & cl2)) ^ code.g2flip
+        s = w - 1 - t
+        o = 1 << s
+        hi_bit = (col_iota >> s) & 1  # 1 at high (odd) pair positions
+        col_lo = col_iota & ~o  # column of this pair's low element
+        pb0 = (_parity(row_iota & rh1) ^ _parity(col_lo & cl1)) ^ code.g1flip
+        pb1 = (_parity(row_iota & rh2) ^ _parity(col_lo & cl2)) ^ code.g2flip
         # syms_ref holds only this phase's pairs, indexed by j not t
         s0 = syms_ref[pl.program_id(0), 2 * j]
         s1 = syms_ref[pl.program_id(0), 2 * j + 1]
-        nl, nh, d0, d1 = _acs_pair(lo, hi, pb0, pb1, s0, s1, mdt)
-        m = jnp.stack([nl, nh], axis=2).reshape(rb, ncols)
-        dec = jnp.stack([d0, d1], axis=2).reshape(rb, ncols).astype(jnp.int32)
+        metric = (s0 + pb0 * (255 - 2 * s0)) + (s1 + pb1 * (255 - 2 * s1))
+        m_metric = 510 - metric
+        partner = _isel(hi_bit, jnp.roll(m, o, axis=1), jnp.roll(m, -o, axis=1))
+        keep = m + metric  # a0 at lo positions, a3 at hi positions
+        swap = partner + m_metric  # a1 at lo positions, a2 at hi positions
+        # strict compares as 0/1 ints: sign bit of the difference
+        c1 = (swap - keep) >> 31 & 1  # keep > swap  (d0 = a0 > a1)
+        c2 = (keep - swap) >> 31 & 1  # swap > keep  (d1 = a2 > a3)
+        dec = _isel(hi_bit, c2, c1)
+        take_swap = dec ^ hi_bit
+        m = _isel(take_swap, swap, keep)
         dec_ref[0, j] = _pack_words(dec, rb, ncols).reshape(
             rb, ncols // 4096, 128
         )
-    out_ref[0] = m
+    out_ref[0] = m.astype(out_ref.dtype)
 
 
 @functools.partial(
@@ -216,8 +250,8 @@ def cycle_a(
         out_specs=(
             pl.BlockSpec((1, nrows, ta), lambda b, c, *_: (b, 0, c)),
             pl.BlockSpec(
-                (1, nsteps, nrows, ta // 4096, 128),
-                lambda b, c, *_: (b, 0, 0, c, 0),
+                (1, nsteps, nrows, (ta // 4096) * 128),
+                lambda b, c, *_: (b, 0, 0, c),
             ),
         ),
     )
@@ -227,10 +261,13 @@ def cycle_a(
         out_shape=(
             jax.ShapeDtypeStruct((B, nrows, ncols), metrics.dtype),
             jax.ShapeDtypeStruct(
-                (B, nsteps, nrows, ncols // 4096, 128), jnp.int32
+                (B, nsteps, nrows, (ncols // 4096) * 128), jnp.int32
             ),
         ),
         grid_spec=grid_spec,
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(syms.astype(jnp.int32), jnp.zeros((B,), jnp.int32), m3)
     return new.reshape(B, n), dec.reshape(B, nsteps, n // 32).astype(jnp.uint32)
@@ -286,6 +323,9 @@ def cycle_b(
             ),
         ),
         grid_spec=grid_spec,
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(syms.astype(jnp.int32), jnp.zeros((B,), jnp.int32), m3)
     return new.reshape(B, n), dec.reshape(B, nsteps, n // 32).astype(jnp.uint32)
