@@ -62,6 +62,17 @@ def symdemod_scan(
     first = jnp.broadcast_to(jnp.asarray(firstsample0, jnp.int32), (B,))
 
     csum = sym_ops.prefix_sum(samples)
+    # The framed timesearch reads a whole-stride span slightly past the
+    # last edge; edge-pad so the final window never clamps its slice
+    # (padded segments difference to zero, matching gather clamping).
+    span = sym_ops.timesearch_csum_span(
+        cfg.halfclock, nsym, cfg.symbolclocks, cfg.noffsets
+    )
+    legacy = int(
+        sym_ops.search_edges(cfg.halfclock, nsym, cfg.symbolclocks)[-1]
+    ) + cfg.noffsets
+    pad = max(span - legacy, 0) + 8
+    csum = jnp.pad(csum, ((0, 0), (0, pad)), mode="edge")
     ffloat = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
     def window_step(first, _):
@@ -114,6 +125,8 @@ def symdemod_tracked(
     symbolsamples = cfg.symbolsamples
     first = np.full((B,), initial_firstsample(cfg), np.int64)
     csum = sym_ops.prefix_sum(samples)
+    # slack for the framed timesearch span (see symdemod_scan)
+    csum = jnp.pad(csum, ((0, 0), (0, 16 * int(cfg.symbolsamples) + 64)), mode="edge")
 
     def energy_at(first, symsamp):
         nsym = int(cfg.window * cfg.samprate / symsamp)
