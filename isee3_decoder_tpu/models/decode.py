@@ -22,6 +22,7 @@ but every kernel invoked is jitted device code.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import NamedTuple
 
 import jax
@@ -210,6 +211,52 @@ def decode_stream(
     return records, state
 
 
+@functools.partial(jax.jit, static_argnames=("nframes", "cfg"))
+def decode_frames_device(
+    symbols: jax.Array,
+    sync_start: jax.Array,
+    nframes: int,
+    cfg: DecodeConfig = DecodeConfig(),
+):
+    """Device-resident throughput decode: frame gather + lockstep Fano +
+    syncword verify + byte packing in ONE jitted program.
+
+    The host-orchestrated path costs ~6 host<->device round trips
+    (~40 ms each through a tunneled runtime); this costs one small
+    fetch.  Viterbi fallback stays host-driven (dynamic subset) —
+    callers check ``fano_ok`` and re-decode failures.
+
+    Returns (data_bytes (B*nframes, FRAMEBITS//8), good, fano_ok,
+    cycles), all device arrays, lane order channel-major.
+    """
+    B, S = symbols.shape
+    starts = (
+        sync_start.astype(jnp.int32)[:, None]
+        + SYNCBITS
+        + FRAMESYMBOLS * jnp.arange(nframes, dtype=jnp.int32)[None, :]
+    )
+    idx = starts[..., None] + jnp.arange(FRAMESYMBOLS, dtype=jnp.int32)[None, None, :]
+    fsyms = jnp.take_along_axis(
+        symbols[:, None, :], idx.reshape(B, -1)[:, None, :], axis=-1
+    ).reshape(B * nframes, FRAMESYMBOLS)
+
+    k = cfg.code.k
+    tail = SYNCWORD & ((1 << (k - 1)) - 1)
+    res = fano_decode(
+        fsyms,
+        jnp.asarray(cfg.mettab()),
+        FRAMEBITS,
+        SYNC_STATE,
+        tail,
+        cfg.code,
+        cfg.fano_params(),
+    )
+    fano_ok = res.goodbits == FRAMEBITS
+    good = fano_ok & verify_frame(res.bits)
+    data = bits_to_bytes(res.bits)
+    return data, good, fano_ok, res.cycles
+
+
 def decode_frames_batch(
     symbols: np.ndarray,
     sync_start: np.ndarray,
@@ -242,41 +289,40 @@ def decode_frames_batch(
     starts = (
         sync_start[:, None] + SYNCBITS + FRAMESYMBOLS * np.arange(nframes)[None, :]
     )  # (B, F)
-    idx = starts[..., None] + np.arange(FRAMESYMBOLS)[None, None, :]
-    fsyms = np.take_along_axis(
-        symbols[:, None, :], idx.astype(np.int64), axis=-1
-    ).reshape(B * nframes, FRAMESYMBOLS)
-    fdev = jnp.asarray(fsyms)
-
-    k = cfg.code.k
-    tail = SYNCWORD & ((1 << (k - 1)) - 1)
     decoder = np.full(B * nframes, DECODER_NONE, np.int32)
-    bits = np.zeros((B * nframes, FRAMEBITS), np.uint8)
+    data = np.zeros((B * nframes, FRAMEBITS // 8), np.uint8)
+    good = np.zeros(B * nframes, bool)
     decode_ok = np.zeros(B * nframes, bool)
     cycles = np.zeros(B * nframes, np.int32)
 
     if cfg.fano_enabled:
-        res = fano_decode(
-            fdev, jnp.asarray(cfg.mettab()), FRAMEBITS, SYNC_STATE, tail,
-            cfg.code, cfg.fano_params(),
+        # One jitted program does gather + lockstep Fano + verify + byte
+        # packing; only the four small result arrays come back to host.
+        ddata, dgood, dok, dcycles = decode_frames_device(
+            jnp.asarray(symbols), jnp.asarray(sync_start, jnp.int32), nframes, cfg
         )
+        data = np.asarray(ddata)
+        good = np.asarray(dgood)
+        decode_ok = np.asarray(dok)
+        cycles = np.asarray(dcycles)
         decoder[:] = DECODER_FANO
-        bits = np.asarray(res.bits)
-        decode_ok = np.asarray(res.goodbits) == FRAMEBITS
-        cycles = np.asarray(res.cycles)
 
     if cfg.viterbi_enabled:
         need = ~decode_ok if cfg.fano_enabled else np.ones(B * nframes, bool)
         if need.any():
             sub = np.nonzero(need)[0]
-            vbits = _viterbi_decode(fdev[sub], cfg)
-            bits[sub] = np.asarray(vbits)
+            idx = starts.reshape(-1)[sub, None] + np.arange(FRAMESYMBOLS)[None, :]
+            fsyms = np.take_along_axis(
+                symbols[sub // nframes], idx.astype(np.int64), axis=-1
+            )
+            vbits = _viterbi_decode(jnp.asarray(fsyms), cfg)
+            data[sub] = np.asarray(bits_to_bytes(vbits))
+            good[sub] = np.asarray(verify_frame(vbits))
             decoder[sub] = DECODER_VITERBI
             decode_ok[sub] = True
 
-    good = decode_ok & np.asarray(verify_frame(jnp.asarray(bits)))
     return FrameRecord(
-        data=np.asarray(bits_to_bytes(jnp.asarray(bits))),
+        data=data,
         good=good,
         decoder=decoder,
         start_symbol=starts.reshape(-1),

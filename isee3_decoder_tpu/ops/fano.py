@@ -74,6 +74,10 @@ class FanoParams:
 
     delta: int = 32  # threshold step (Fano_delta = 4 * Fano_scale)
     maxcycles: int = 100  # forward-looks per bit before giving up
+    # micro-steps per while_loop iteration: purely a performance knob
+    # (identical walk); amortizes the per-iteration dispatch overhead,
+    # which dominates on the tunneled TPU runtime (~120 us/iteration)
+    unroll: int = 8
 
 
 @functools.partial(
@@ -145,13 +149,26 @@ def fano_decode(
     lsym0 = _makesyms(enc0, code)
     tm0_r, tm1_r, bit_r = sort_branches(metrics4[:, 0], lsym0)
 
-    gamma = jnp.zeros((B, N), jnp.int32)
-    tm = jnp.zeros((B, N, 2), jnp.int32)
-    tm = tm.at[:, 0, 0].set(tm0_r)
-    tm = tm.at[:, 0, 1].set(tm1_r)
-    enc = jnp.zeros((B, N), jnp.int32)
+    # Node state carries one trailing DUMP slot (index N / 2N) so
+    # masked-off lanes scatter there unconditionally — updates need no
+    # read-modify-write, halving the gather count of the loop body.
+    # tm pairs are flattened to (B, 2N+2) so both branch metrics write
+    # in ONE scatter at adjacent columns.
+    gamma = jnp.zeros((B, N + 1), jnp.int32)
+    tmf = jnp.zeros((B, 2 * N + 2), jnp.int32)
+    tmf = tmf.at[:, 0].set(tm0_r).at[:, 1].set(tm1_r)
+    enc = jnp.zeros((B, N + 1), jnp.int32)
     enc = enc.at[:, 0].set(enc0 | bit_r)
-    ibr = jnp.zeros((B, N), jnp.int32)
+    ibr = jnp.zeros((B, N + 1), jnp.int32)
+    m4f = metrics4.reshape(B, 4 * N)
+    arange4 = jnp.arange(4, dtype=jnp.int32)
+
+    def sel4(m4, s):
+        """m4[b, s[b]] for s in {0..3} via selects — per-row gathers
+        cost ~10us each on the tunneled runtime, selects are free."""
+        lo = jnp.where((s & 1) == 1, m4[:, 1], m4[:, 0])
+        hi = jnp.where((s & 1) == 1, m4[:, 3], m4[:, 2])
+        return jnp.where((s >> 1) & 1 == 1, hi, lo)
 
     class Carry(NamedTuple):
         np_idx: jax.Array
@@ -160,7 +177,7 @@ def fano_decode(
         mode: jax.Array  # 0 = forward look, 1 = backtracking
         done: jax.Array
         gamma: jax.Array
-        tm: jax.Array
+        tmf: jax.Array
         enc: jax.Array
         ibr: jax.Array
 
@@ -171,7 +188,7 @@ def fano_decode(
         mode=jnp.zeros((B,), jnp.int32),
         done=jnp.zeros((B,), bool),
         gamma=gamma,
-        tm=tm,
+        tmf=tmf,
         enc=enc,
         ibr=ibr,
     )
@@ -184,8 +201,19 @@ def fano_decode(
         fwd = (c.mode == 0) & ~c.done
         bwd = (c.mode == 1) & ~c.done
 
-        g_np = c.gamma[bidx, np_idx]
-        tm_np = c.tm[bidx, np_idx, c.ibr[bidx, np_idx]]
+        back_np = np_idx - 1
+        back_np_c = jnp.maximum(back_np, 0)
+        # paired gathers: (node-1, node) for each state array
+        pair = jnp.stack([back_np_c, np_idx], axis=1)
+        g_pair = jnp.take_along_axis(c.gamma, pair, axis=1)
+        g_prev, g_np = g_pair[:, 0], g_pair[:, 1]
+        ibr_pair = jnp.take_along_axis(c.ibr, pair, axis=1)
+        back_ibr, cur_ibr = ibr_pair[:, 0], ibr_pair[:, 1]
+        enc_pair = jnp.take_along_axis(c.enc, pair, axis=1)
+        enc_back, prev_enc = enc_pair[:, 0], enc_pair[:, 1]
+        tm_np = jnp.take_along_axis(
+            c.tmf, (2 * np_idx + cur_ibr)[:, None], axis=1
+        )[:, 0]
 
         # ---------- forward look (fano.c:117-166) ----------
         ngamma = g_np + tm_np
@@ -200,19 +228,21 @@ def fano_decode(
         advance = fwd & ok & ~at_last
 
         new_np = np_idx + 1
-        prev_enc = c.enc[bidx, np_idx]
         adv_enc = prev_enc << 1
         lsym = _makesyms(adv_enc, code)
-        m4 = metrics4[bidx, jnp.clip(new_np, 0, N - 1)]  # (B, 4)
+        m4 = jnp.take_along_axis(
+            m4f,
+            (4 * jnp.clip(new_np, 0, N - 1))[:, None] + arange4[None, :],
+            axis=1,
+        )  # (B, 4) — one contiguous 4-wide gather
 
         # tail zone (fano.c:141-147)
         in_tail = new_np >= tail_start
         tbit = (tailbits >> jnp.clip(N - new_np - 1, 0, 31)) & 1
-        tail_sel = (tbit * 3) ^ lsym
-        tail_tm0 = m4[bidx, tail_sel]
+        tail_tm0 = sel4(m4, (tbit * 3) ^ lsym)
 
-        m0 = m4[bidx, lsym]
-        m1 = m4[bidx, 3 ^ lsym]
+        m0 = sel4(m4, lsym)
+        m1 = sel4(m4, 3 ^ lsym)
         better1 = m1 >= m0
         sort_tm0 = jnp.where(better1, m1, m0)
         sort_tm1 = jnp.where(better1, m0, m1)
@@ -222,24 +252,19 @@ def fano_decode(
         adv_tm1 = jnp.where(in_tail, tail_tm0, sort_tm1)
         adv_bit = jnp.where(in_tail, tbit, sort_bit)
 
-        # threshold violated → start backtracking (fano.c:168)
+        # threshold violated -> start backtracking (fano.c:168)
         to_bwd = fwd & ~ok
 
         # ---------- one backtrack step (fano.c:169-188) ----------
-        g_prev = c.gamma[bidx, jnp.maximum(np_idx - 1, 0)]
         cant_back = (np_idx == 0) | (g_prev < t)
         relax = bwd & cant_back  # relax threshold (fano.c:171-179)
         stepback = bwd & ~cant_back
 
-        back_np = np_idx - 1
         # after backing up: try next-best branch if allowed (fano.c:182-186)
-        back_ibr = c.ibr[bidx, jnp.maximum(back_np, 0)]
         can_try = (back_np < tail_start) & (back_ibr != 1)
         toggle_next = stepback & can_try  # switch to 2nd branch, resume fwd
-        keep_back = stepback & ~can_try  # keep looking back
 
         # relax: t -= delta; reset current node to best branch
-        cur_ibr = c.ibr[bidx, np_idx]
         relax_flip = relax & (cur_ibr != 0)
 
         # ---------- merge updates ----------
@@ -254,29 +279,29 @@ def fano_decode(
         timeout = ~done_next & (cycles_next >= max_total)
         done_next = done_next | timeout
 
-        gamma_next = _mask_set(c.gamma, advance, new_np, ngamma)
-        tm_next = c.tm
-        tm_next = _mask_set(tm_next, advance, new_np, adv_tm0, comp=0)
-        tm_next = _mask_set(tm_next, advance, new_np, adv_tm1, comp=1)
-        ibr_next = _mask_set(c.ibr, advance, new_np, jnp.zeros((B,), jnp.int32))
-        enc_next = _mask_set(c.enc, advance, new_np, adv_enc | adv_bit)
+        # one dump-slot scatter per state array
+        gamma_next = c.gamma.at[bidx, jnp.where(advance, new_np, N)].set(ngamma)
+        tm_idx0 = jnp.where(advance, 2 * new_np, 2 * N)
+        tmf_next = c.tmf.at[
+            bidx[:, None], jnp.stack([tm_idx0, tm_idx0 + 1], axis=1)
+        ].set(jnp.stack([adv_tm0, adv_tm1], axis=1))
 
-        # toggle_next: ibr[back_np] += 1, enc ^= 1
-        ibr_next = _mask_set(
-            ibr_next, toggle_next, jnp.maximum(back_np, 0),
-            back_ibr + 1,
+        # advance / toggle_next / relax_flip are mutually exclusive, so
+        # the three ibr and three enc updates fold into ONE scatter each
+        upd_mask = advance | toggle_next | relax_flip
+        upd_idx = jnp.where(
+            upd_mask,
+            jnp.where(advance, new_np, jnp.where(toggle_next, back_np_c, np_idx)),
+            N,
         )
-        enc_next = _mask_set(
-            enc_next, toggle_next, jnp.maximum(back_np, 0),
-            c.enc[bidx, jnp.maximum(back_np, 0)] ^ 1,
+        ibr_val = jnp.where(toggle_next, back_ibr + 1, 0)
+        enc_val = jnp.where(
+            advance,
+            adv_enc | adv_bit,
+            jnp.where(toggle_next, enc_back ^ 1, prev_enc ^ 1),
         )
-        # relax_flip: ibr[np] = 0, enc[np] ^= 1
-        ibr_next = _mask_set(
-            ibr_next, relax_flip, np_idx, jnp.zeros((B,), jnp.int32)
-        )
-        enc_next = _mask_set(
-            enc_next, relax_flip, np_idx, c.enc[bidx, np_idx] ^ 1
-        )
+        ibr_next = c.ibr.at[bidx, upd_idx].set(ibr_val)
+        enc_next = c.enc.at[bidx, upd_idx].set(enc_val)
 
         return Carry(
             np_idx=np_next,
@@ -285,22 +310,19 @@ def fano_decode(
             mode=mode_next,
             done=done_next,
             gamma=gamma_next,
-            tm=tm_next,
+            tmf=tmf_next,
             enc=enc_next,
             ibr=ibr_next,
         )
 
-    def _mask_set(arr, mask, idx, val, comp=None):
-        """arr[b, idx[b]] = val[b] where mask[b]."""
-        if comp is None:
-            cur = arr[bidx, idx]
-            return arr.at[bidx, idx].set(jnp.where(mask, val, cur))
-        cur = arr[bidx, idx, comp]
-        return arr.at[bidx, idx, comp].set(jnp.where(mask, val, cur))
+    def body_unrolled(c: Carry) -> Carry:
+        for _ in range(max(params.unroll, 1)):
+            c = body(c)
+        return c
 
-    final = jax.lax.while_loop(cond, body, init)
+    final = jax.lax.while_loop(cond, body_unrolled, init)
 
-    bits = (final.enc & 1).astype(jnp.uint8)
+    bits = (final.enc[:, :N] & 1).astype(jnp.uint8)
     goodbits = final.np_idx + 1
     metric = final.gamma[bidx, final.np_idx]
     return FanoResult(bits=bits, goodbits=goodbits, metric=metric, cycles=final.cycles)
