@@ -113,22 +113,26 @@ def main() -> None:
     soft_np = np.asarray(soft)
     t_fetch = time.perf_counter() - t0
 
-    # Decode in throughput mode: one sync search + one lockstep Fano over
-    # channels×frames with batched Viterbi fallback (persistent-hybrid
-    # policy, models/decode.decode_frames_batch).
+    # Decode in throughput mode: ONE fused device program does the sync
+    # search, the quicklook tier, the lockstep Fano over channels×frames,
+    # verify and byte packing; the host pays a single packed fetch, plus
+    # the (rare) batched Viterbi fallback (models/decode.decode_block).
     from isee3_decoder_tpu.config import FRAMESYMBOLS, SYNCBITS
-    from isee3_decoder_tpu.models.decode import decode_frames_batch
+    from isee3_decoder_tpu.models.decode import (
+        DECODER_FANO,
+        DECODER_QUICKLOOK,
+        DECODER_VITERBI,
+        decode_block,
+    )
     from isee3_decoder_tpu.ops.syncword import find_sync
 
     ss, _ = find_sync(soft[:, : FRAMESYMBOLS + SYNCBITS], FRAMESYMBOLS)
     ss_np = np.asarray(ss, np.int64)
     S = soft_np.shape[1]
     f_avail = int((S - ss_np.max() - SYNCBITS) // FRAMESYMBOLS)
-    decode_frames_batch(soft_np, ss_np, f_avail, cfg.decode)  # warmup/compile
+    decode_block(soft, f_avail, cfg.decode)  # warmup/compile
     t0 = time.perf_counter()
-    ss, _ = find_sync(soft[:, : FRAMESYMBOLS + SYNCBITS], FRAMESYMBOLS)
-    ss_np = np.asarray(ss, np.int64)
-    rec = decode_frames_batch(soft_np, ss_np, f_avail, cfg.decode)
+    rec, _ = decode_block(soft, f_avail, cfg.decode)
     t_decode = time.perf_counter() - t0
 
     total_samples = nchan * nsamples
@@ -161,6 +165,11 @@ def main() -> None:
             "frames_matched": nmatched,
             "frames_possible": f_avail * nchan,
             "min_cn0_db": round(float(cn0_min), 1),
+            "decoders": {
+                "quicklook": int((rec.decoder == DECODER_QUICKLOOK).sum()),
+                "fano": int((rec.decoder == DECODER_FANO).sum()),
+                "viterbi": int((rec.decoder == DECODER_VITERBI).sum()),
+            },
             "backend": jax.default_backend(),
         },
     }

@@ -39,12 +39,12 @@ from isee3_decoder_tpu.config import (
     CodeSpec,
 )
 from isee3_decoder_tpu.ops import viterbi
-from isee3_decoder_tpu.ops.encode import bits_to_bytes
+from isee3_decoder_tpu.ops.encode import bits_to_bytes, encode_bits
 from isee3_decoder_tpu.ops.fano import FanoParams, fano_decode
 from isee3_decoder_tpu.ops.syncword import find_sync, verify_frame
 from isee3_decoder_tpu.utils.metrics import decoder_amplitudes, gen_met
 
-DECODER_NONE, DECODER_VITERBI, DECODER_FANO = 0, 1, 2
+DECODER_NONE, DECODER_VITERBI, DECODER_FANO, DECODER_QUICKLOOK = 0, 1, 2, 3
 
 
 def _viterbi_decode(fsyms, cfg: "DecodeConfig"):
@@ -80,6 +80,14 @@ class DecodeConfig:
     #: Viterbi kernel: "jnp" (reference), "inplace" (rotating-layout XLA
     #: kernel) or "fused" (fused-cycle Pallas kernels) — bit-identical.
     viterbi_backend: str = "jnp"
+    #: Quick-look fast tier in the batched decode paths: derive candidate
+    #: bits from the QLI property (qdecode.c:129-134), accept only when
+    #: the re-encoded candidate reproduces EVERY hard symbol decision and
+    #: the frame ends in the syncword.  An accepted frame is exactly what
+    #: Fano would return (a zero-error codeword is followed branch-by-
+    #: branch), so this is a pure latency optimization: error-free lanes
+    #: skip the serial threshold walk entirely.
+    quicklook: bool = True
 
     def mettab(self) -> np.ndarray:
         """Fano metric table assuming threshold operation at Eb/N0=3 dB
@@ -211,25 +219,36 @@ def decode_stream(
     return records, state
 
 
-@functools.partial(jax.jit, static_argnames=("nframes", "cfg"))
-def decode_frames_device(
-    symbols: jax.Array,
-    sync_start: jax.Array,
-    nframes: int,
-    cfg: DecodeConfig = DecodeConfig(),
-):
-    """Device-resident throughput decode: frame gather + lockstep Fano +
-    syncword verify + byte packing in ONE jitted program.
+def _quicklook_frames(fsyms: jax.Array, code: CodeSpec):
+    """Quick-look candidate bits + exact verification for gathered frames.
 
-    The host-orchestrated path costs ~6 host<->device round trips
-    (~40 ms each through a tunneled runtime); this costs one small
-    fetch.  Viterbi fallback stays host-driven (dynamic subset) —
-    callers check ``fano_ok`` and re-decode failures.
+    The QLI property (qdecode.c:129-134): hard(s1)^hard(s2)^1 recovers the
+    data stream delayed by one bit (poly1^poly2 == 0b10).  Pair t of a
+    frame that starts at encoder state SYNC_STATE therefore yields bit
+    t-1; the frame's last bit is the known syncword tail LSB.  The
+    candidate is accepted only if re-encoding it from SYNC_STATE
+    reproduces every hard symbol decision (the vdecode.c:155-183
+    self-check made into an acceptance test) — i.e. the received hard
+    symbols form a codeword, in which case Fano's best-branch walk would
+    decode the identical bits.
 
-    Returns (data_bytes (B*nframes, FRAMEBITS//8), good, fano_ok,
-    cycles), all device arrays, lane order channel-major.
+    Returns (bits (L, FRAMEBITS) uint8, ok (L,) bool).
     """
-    B, S = symbols.shape
+    hard = (fsyms.astype(jnp.int32) > 128).astype(jnp.uint8)  # (L, 2N)
+    pairs = hard.reshape(hard.shape[0], -1, 2)
+    ql = pairs[..., 0] ^ pairs[..., 1] ^ 1  # bit t-1 at pair t
+    bits = jnp.concatenate(
+        [ql[:, 1:], jnp.full((ql.shape[0], 1), SYNCWORD & 1, jnp.uint8)],
+        axis=1,
+    ).astype(jnp.uint8)
+    resyms, _ = encode_bits(bits, SYNC_STATE, code)
+    ok = jnp.all(resyms.astype(jnp.uint8) == hard, axis=-1) & verify_frame(bits)
+    return bits, ok
+
+
+def _gather_frames(symbols: jax.Array, sync_start: jax.Array, nframes: int):
+    """Slice nframes consecutive frames per channel after each sync."""
+    B = symbols.shape[0]
     starts = (
         sync_start.astype(jnp.int32)[:, None]
         + SYNCBITS
@@ -239,22 +258,167 @@ def decode_frames_device(
     fsyms = jnp.take_along_axis(
         symbols[:, None, :], idx.reshape(B, -1)[:, None, :], axis=-1
     ).reshape(B * nframes, FRAMESYMBOLS)
+    return fsyms
 
-    k = cfg.code.k
-    tail = SYNCWORD & ((1 << (k - 1)) - 1)
-    res = fano_decode(
-        fsyms,
-        jnp.asarray(cfg.mettab()),
-        FRAMEBITS,
-        SYNC_STATE,
-        tail,
-        cfg.code,
-        cfg.fano_params(),
+
+def _decode_frames_core(
+    symbols: jax.Array,
+    sync_start: jax.Array,
+    nframes: int,
+    cfg: DecodeConfig,
+):
+    """Traceable tiered frame decode: gather → quicklook → lockstep Fano.
+
+    Returns (data, good, decoder, ok, cycles) device arrays with lane
+    order channel-major (lane b*nframes+f is channel b's frame f).
+    ``decoder`` holds DECODER_* codes; ``ok`` marks lanes decoded by any
+    device tier (the rest are the host Viterbi fallback's job).
+    """
+    fsyms = _gather_frames(symbols, sync_start, nframes)
+    L = fsyms.shape[0]
+
+    if cfg.quicklook:
+        ql_bits, ql_ok = _quicklook_frames(fsyms, cfg.code)
+    else:
+        ql_bits = jnp.zeros((L, FRAMEBITS), jnp.uint8)
+        ql_ok = jnp.zeros((L,), bool)
+
+    if cfg.fano_enabled:
+        k = cfg.code.k
+        tail = SYNCWORD & ((1 << (k - 1)) - 1)
+        res = fano_decode(
+            fsyms,
+            jnp.asarray(cfg.mettab()),
+            FRAMEBITS,
+            SYNC_STATE,
+            tail,
+            cfg.code,
+            cfg.fano_params(),
+            skip=ql_ok,
+        )
+        fano_ok = ~ql_ok & (res.goodbits == FRAMEBITS)
+        bits = jnp.where(ql_ok[:, None], ql_bits, res.bits)
+        cycles = jnp.where(ql_ok, 0, res.cycles)
+    else:
+        fano_ok = jnp.zeros((L,), bool)
+        bits = ql_bits
+        cycles = jnp.zeros((L,), jnp.int32)
+
+    ok = ql_ok | fano_ok
+    good = ql_ok | (fano_ok & verify_frame(bits))
+    decoder = jnp.where(
+        ql_ok,
+        DECODER_QUICKLOOK,
+        jnp.where(fano_ok, DECODER_FANO, DECODER_NONE),
+    ).astype(jnp.int32)
+    data = bits_to_bytes(bits)
+    return data, good, decoder, ok, cycles
+
+
+@functools.partial(jax.jit, static_argnames=("nframes", "cfg"))
+def decode_frames_device(
+    symbols: jax.Array,
+    sync_start: jax.Array,
+    nframes: int,
+    cfg: DecodeConfig = DecodeConfig(),
+):
+    """Device-resident throughput decode: frame gather + quicklook +
+    lockstep Fano + syncword verify + byte packing in ONE jitted program.
+
+    The host-orchestrated path costs ~6 host<->device round trips
+    (~40 ms each through a tunneled runtime); this costs one small
+    fetch.  Viterbi fallback stays host-driven (dynamic subset) —
+    callers check ``ok`` and re-decode failures.
+
+    Returns (data_bytes (B*nframes, FRAMEBITS//8), good, decoder, ok,
+    cycles), all device arrays, lane order channel-major.
+    """
+    return _decode_frames_core(symbols, sync_start, nframes, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("nframes", "npos", "cfg"))
+def decode_block_device(
+    symbols: jax.Array,
+    nframes: int,
+    npos: int = FRAMESYMBOLS,
+    cfg: DecodeConfig = DecodeConfig(),
+) -> jax.Array:
+    """Fully fused block decode: sync search + tiered frame decode packed
+    into ONE uint8 result buffer so the host pays a single device fetch
+    (each fetch through the tunneled runtime costs ~25-50 ms).
+
+    Buffer layout for L = B*nframes lanes:
+      [0, 16L)       frame bytes (L × FRAMEBITS/8)
+      [16L, 17L)     good flags
+      [17L, 18L)     decoder codes
+      [18L, 19L)     ok flags
+      [19L, 23L)     fano cycles, int32 little-endian per lane
+      [23L, 23L+4B)  sync_start per channel, int32 little-endian
+    """
+    ss, _ = find_sync(symbols[:, : npos + SYNCBITS], npos, cfg.code)
+    data, good, decoder, ok, cycles = _decode_frames_core(
+        symbols, ss, nframes, cfg
     )
-    fano_ok = res.goodbits == FRAMEBITS
-    good = fano_ok & verify_frame(res.bits)
-    data = bits_to_bytes(res.bits)
-    return data, good, fano_ok, res.cycles
+    cyc8 = jax.lax.bitcast_convert_type(cycles, jnp.uint8).reshape(-1)
+    ss8 = jax.lax.bitcast_convert_type(ss.astype(jnp.int32), jnp.uint8).reshape(-1)
+    return jnp.concatenate(
+        [
+            data.reshape(-1),
+            good.astype(jnp.uint8),
+            decoder.astype(jnp.uint8),
+            ok.astype(jnp.uint8),
+            cyc8,
+            ss8,
+        ]
+    )
+
+
+def decode_block(
+    symbols,
+    nframes: int,
+    cfg: DecodeConfig = DecodeConfig(),
+    npos: int = FRAMESYMBOLS,
+) -> tuple[FrameRecord, np.ndarray]:
+    """Host wrapper for the fused block decode: one device dispatch, one
+    fetch, then the (rare) host-driven Viterbi fallback on failed lanes.
+
+    Returns (FrameRecord with batch axis B*nframes, sync_start (B,)).
+    """
+    symbols = jnp.asarray(symbols)
+    if symbols.ndim == 1:
+        symbols = symbols[None, :]
+    B = symbols.shape[0]
+    L = B * nframes
+    nb = FRAMEBITS // 8
+    buf = np.asarray(decode_block_device(symbols, nframes, npos, cfg))
+    data = buf[: nb * L].reshape(L, nb).copy()
+    good = buf[nb * L : nb * L + L].astype(bool)
+    decoder = buf[nb * L + L : nb * L + 2 * L].astype(np.int32)
+    ok = buf[nb * L + 2 * L : nb * L + 3 * L].astype(bool)
+    cycles = buf[nb * L + 3 * L : nb * L + 7 * L].view(np.int32).copy()
+    ss = buf[nb * L + 7 * L :].view(np.int32).astype(np.int64)
+    starts = (
+        ss[:, None] + SYNCBITS + FRAMESYMBOLS * np.arange(nframes)[None, :]
+    )
+
+    if cfg.viterbi_enabled and (~ok).any():
+        sub = np.nonzero(~ok)[0]
+        sym_np = np.asarray(symbols)
+        idx = starts.reshape(-1)[sub, None] + np.arange(FRAMESYMBOLS)[None, :]
+        fsyms = np.take_along_axis(sym_np[sub // nframes], idx, axis=-1)
+        vbits = _viterbi_decode(jnp.asarray(fsyms), cfg)
+        data[sub] = np.asarray(bits_to_bytes(vbits))
+        good[sub] = np.asarray(verify_frame(vbits))
+        decoder[sub] = DECODER_VITERBI
+
+    rec = FrameRecord(
+        data=data,
+        good=good,
+        decoder=decoder,
+        start_symbol=starts.reshape(-1),
+        fano_cycles=cycles,
+    )
+    return rec, ss
 
 
 def decode_frames_batch(
@@ -295,20 +459,21 @@ def decode_frames_batch(
     decode_ok = np.zeros(B * nframes, bool)
     cycles = np.zeros(B * nframes, np.int32)
 
-    if cfg.fano_enabled:
-        # One jitted program does gather + lockstep Fano + verify + byte
-        # packing; only the four small result arrays come back to host.
-        ddata, dgood, dok, dcycles = decode_frames_device(
+    device_tiers = cfg.fano_enabled or cfg.quicklook
+    if device_tiers:
+        # One jitted program does gather + quicklook + lockstep Fano +
+        # verify + byte packing; only small result arrays come back.
+        ddata, dgood, ddec, dok, dcycles = decode_frames_device(
             jnp.asarray(symbols), jnp.asarray(sync_start, jnp.int32), nframes, cfg
         )
         data = np.asarray(ddata)
         good = np.asarray(dgood)
+        decoder = np.asarray(ddec)
         decode_ok = np.asarray(dok)
         cycles = np.asarray(dcycles)
-        decoder[:] = DECODER_FANO
 
     if cfg.viterbi_enabled:
-        need = ~decode_ok if cfg.fano_enabled else np.ones(B * nframes, bool)
+        need = ~decode_ok if device_tiers else np.ones(B * nframes, bool)
         if need.any():
             sub = np.nonzero(need)[0]
             idx = starts.reshape(-1)[sub, None] + np.arange(FRAMESYMBOLS)[None, :]
@@ -334,7 +499,11 @@ def format_frame(rec: FrameRecord, channel: int, frame_no: int, symrate: float =
     """Pretty-print one channel's frame like decode.c:249-265."""
     from isee3_decoder_tpu.utils.timeformat import format_hms
 
-    name = {DECODER_VITERBI: "Viterbi", DECODER_FANO: "Fano"}.get(
+    name = {
+        DECODER_VITERBI: "Viterbi",
+        DECODER_FANO: "Fano",
+        DECODER_QUICKLOOK: "Quicklook",
+    }.get(
         int(rec.decoder[channel]), "None"
     )
     start = int(rec.start_symbol[channel])

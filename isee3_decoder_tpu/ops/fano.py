@@ -91,6 +91,7 @@ def fano_decode(
     tailbits: int | jax.Array = 0,
     code: CodeSpec = DEFAULT_CODE,
     params: FanoParams = FanoParams(),
+    skip: jax.Array | None = None,
 ) -> FanoResult:
     """Decode (B, 2*nbits) soft symbols with the Fano algorithm.
 
@@ -102,6 +103,9 @@ def fano_decode(
       tailbits: known tail sequence forced at the last K-1 nodes.
       code: static code spec.
       params: delta / maxcycles.
+      skip: optional (B,) bool — lanes already decoded by a cheaper tier;
+        they start as done (their FanoResult rows are meaningless) so a
+        fully-skipped batch exits the walk immediately.
 
     Returns a FanoResult; ``goodbits == nbits`` signals success exactly as
     the reference's return value does (fano.c:38,204).
@@ -186,7 +190,11 @@ def fano_decode(
         t=jnp.zeros((B,), jnp.int32),
         cycles=jnp.zeros((B,), jnp.int32),
         mode=jnp.zeros((B,), jnp.int32),
-        done=jnp.zeros((B,), bool),
+        done=(
+            jnp.zeros((B,), bool)
+            if skip is None
+            else jnp.broadcast_to(jnp.asarray(skip, bool), (B,))
+        ),
         gamma=gamma,
         tmf=tmf,
         enc=enc,

@@ -6,7 +6,9 @@ import jax.numpy as jnp
 
 from isee3_decoder_tpu.models.decode import (
     DECODER_FANO,
+    DECODER_QUICKLOOK,
     DecodeConfig,
+    decode_block,
     decode_frames_batch,
 )
 from isee3_decoder_tpu.ops.syncword import find_sync
@@ -44,4 +46,73 @@ def test_decode_frames_batch_multichannel():
         for f in range(nframes):
             # frame 0 of the batch is tx frame 1 (frame 0 precedes sync)
             np.testing.assert_array_equal(data[b, f], frames[f + 1])
+    # at ~6 dB every frame has hard-decision symbol errors, so the
+    # quicklook tier must reject and the Fano walk must decode
     assert (rec.decoder == DECODER_FANO).all()
+
+
+def _synth_streams(rng, key, nframes, B, offs, sig, noise):
+    frames = testsignal.random_frames(rng, nframes + 1)
+    syms = testsignal.frames_to_symbols(frames)
+    streams = []
+    for b in range(B):
+        key, sub = jax.random.split(key)
+        soft = np.asarray(simulate(sub, jnp.asarray(syms), sig, noise))
+        streams.append(np.concatenate([np.full(offs[b], 128, np.uint8), soft]))
+    maxlen = max(len(s) for s in streams)
+    stream = np.stack(
+        [np.pad(s, (0, maxlen - len(s)), constant_values=128) for s in streams]
+    )
+    return frames, stream
+
+
+def test_quicklook_tier_decodes_clean_frames():
+    """Error-free lanes take the quicklook fast path; its bits match the
+    transmitted frames exactly (so Fano would have produced the same)."""
+    rng = np.random.default_rng(4)
+    nframes = 2
+    frames = testsignal.random_frames(rng, nframes + 1)
+    syms = np.asarray(testsignal.frames_to_symbols(frames))
+    soft = np.where(syms > 0, 228, 28).astype(np.uint8)  # clean, amp 100
+    stream = soft[None, :]
+    ss, _ = find_sync(jnp.asarray(stream[:, :4096]), 2048)
+    rec = decode_frames_batch(stream, np.asarray(ss, np.int64), nframes)
+    assert rec.good.all()
+    assert (rec.decoder == DECODER_QUICKLOOK).all()
+    assert (rec.fano_cycles == 0).all()
+    data = rec.data.reshape(nframes, 128)
+    for f in range(nframes):
+        np.testing.assert_array_equal(data[f], frames[f + 1])
+
+    # same input with quicklook disabled must agree bit-for-bit via Fano
+    rec2 = decode_frames_batch(
+        stream, np.asarray(ss, np.int64), nframes, DecodeConfig(quicklook=False)
+    )
+    assert (rec2.decoder == DECODER_FANO).all()
+    np.testing.assert_array_equal(rec2.data, rec.data)
+
+
+def test_decode_block_fused_matches_batch():
+    """The single-dispatch fused block decode (sync search + tiered decode
+    + packed fetch) returns the same frames as the two-step path."""
+    rng = np.random.default_rng(5)
+    nframes = 2
+    frames, stream = _synth_streams(
+        rng, jax.random.PRNGKey(7), nframes, 2, [11, 29], 81.65, 40.0
+    )
+    ss_ref, _ = find_sync(jnp.asarray(stream[:, : 2048 + 34]), 2048)
+    rec_ref = decode_frames_batch(
+        stream, np.asarray(ss_ref, np.int64), nframes
+    )
+    rec, ss = decode_block(stream, nframes)
+    np.testing.assert_array_equal(ss, np.asarray(ss_ref, np.int64))
+    np.testing.assert_array_equal(rec.data, rec_ref.data)
+    np.testing.assert_array_equal(rec.good, rec_ref.good)
+    np.testing.assert_array_equal(rec.decoder, rec_ref.decoder)
+    np.testing.assert_array_equal(rec.fano_cycles, rec_ref.fano_cycles)
+    np.testing.assert_array_equal(rec.start_symbol, rec_ref.start_symbol)
+    assert rec.good.all()
+    data = rec.data.reshape(2, nframes, 128)
+    for b in range(2):
+        for f in range(nframes):
+            np.testing.assert_array_equal(data[b, f], frames[f + 1])
