@@ -19,6 +19,12 @@ def main(argv=None) -> int:
     p.add_argument("-i", type=int, default=1024, dest="status_interval")
     p.add_argument("-F", action="store_true", dest="dontflip")
     p.add_argument("-q", action="store_true", dest="quiet")
+    p.add_argument(
+        "--backend",
+        choices=("jnp", "fused"),
+        default="jnp",
+        help="Viterbi kernel: classic XLA or fused-cycle Pallas (bit-identical)",
+    )
     a = p.parse_args(argv)
 
     if a.decode_delay < 24:
@@ -38,7 +44,7 @@ def main(argv=None) -> int:
         symbols, extra = auto_phase_flip(symbols)
         if extra and not a.quiet:
             status("vdecode: flipping phase")
-    res = vdecode_stream(jnp.asarray(symbols), a.decode_delay)
+    res = vdecode_stream(jnp.asarray(symbols), a.decode_delay, backend=a.backend)
     bits = res.bits[0]
     sys.stdout.write("".join("1" if b else "0" for b in bits))
     sys.stdout.flush()

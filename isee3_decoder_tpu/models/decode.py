@@ -53,7 +53,9 @@ def _viterbi_decode(fsyms, cfg: "DecodeConfig"):
         from isee3_decoder_tpu.ops.viterbi_pallas_fused import decode_frame_fused
 
         return decode_frame_fused(
-            fsyms, FRAMEBITS, SYNC_STATE, SYNC_STATE, cfg.code
+            fsyms, FRAMEBITS, SYNC_STATE, SYNC_STATE, cfg.code,
+            # Mosaic kernels only lower on TPU; interpret elsewhere
+            interpret=jax.default_backend() != "tpu",
         )
     if cfg.viterbi_backend == "inplace":
         from isee3_decoder_tpu.ops.viterbi_inplace import decode_frame_inplace

@@ -77,6 +77,7 @@ def vdecode_stream(
     symbols: jax.Array,
     decode_delay: int = 200,
     code: CodeSpec = DEFAULT_CODE,
+    backend: str = "jnp",
 ) -> VdecodeResult:
     """Streaming Viterbi decode of a phased soft-symbol stream.
 
@@ -88,6 +89,9 @@ def vdecode_stream(
 
     Note the emitted stream equals the input data delayed by
     decode_delay + K - 2 trellis steps, exactly like the reference.
+
+    backend: "jnp" (classic kernel) or "fused" (fused-cycle Pallas
+    kernels feeding the rotating-layout circular tape) — bit-identical.
     """
     if symbols.ndim == 1:
         symbols = symbols[None, :]
@@ -101,20 +105,47 @@ def vdecode_stream(
     # memory bounded at (chunk + delay) planes so arbitrarily long
     # streams fit (the role of the reference's circular decision buffer,
     # vdecode.c:94).
-    chunk = 4096
-    st = viterbi.create(min(nbits, chunk) + decode_delay, B, code, 0)
     bits_parts = []
-    done_bits = 0
-    while done_bits < nbits:
-        n = min(chunk, nbits - done_bits)
-        st = viterbi.update_blk(
-            st, jnp.asarray(syms[:, 2 * done_bits : 2 * (done_bits + n)]), code
-        )
-        # all end-times whose full `delay` lookback is on the tape
-        lo = decode_delay if done_bits == 0 else 0
-        out = viterbi.streaming_decodebits_window(st, decode_delay, n - lo, code)
-        bits_parts.append(np.asarray(out))
-        done_bits += n
+    if backend == "fused":
+        from isee3_decoder_tpu.ops import viterbi_inplace as vip
+        from isee3_decoder_tpu.ops.viterbi_pallas_fused import stream_update_fused
+
+        interpret = jax.default_backend() != "tpu"
+        w = code.k - 1
+        chunk = max((4096 // w) * w, w)  # cycle-aligned chunk
+        # tape: a multiple of the chunk covering skip + chunk + delay
+        tape_len = chunk * (1 + -(-(decode_delay + w) // chunk))
+        st = vip.stream_create(tape_len, B, code, 0)
+        done_bits = 0
+        while done_bits < nbits:
+            n = min(chunk, nbits - done_bits)
+            npad = -(-n // w) * w  # erasure-pad to whole cycles
+            block = np.full((B, 2 * npad), 128, np.uint8)
+            block[:, : 2 * n] = syms[:, 2 * done_bits : 2 * (done_bits + n)]
+            st = stream_update_fused(st, jnp.asarray(block), code, interpret=interpret)
+            lo = max(decode_delay - done_bits, 0)
+            if n - lo > 0:
+                out = vip.stream_decodebits(
+                    st, decode_delay, n - lo, code, skip=npad - n
+                )
+                bits_parts.append(np.asarray(out))
+            done_bits += n
+    else:
+        chunk = 4096
+        st = viterbi.create(min(nbits, chunk) + decode_delay, B, code, 0)
+        done_bits = 0
+        while done_bits < nbits:
+            n = min(chunk, nbits - done_bits)
+            st = viterbi.update_blk(
+                st, jnp.asarray(syms[:, 2 * done_bits : 2 * (done_bits + n)]), code
+            )
+            # all end-times whose full `delay` lookback is on the tape
+            lo = decode_delay if done_bits == 0 else 0
+            out = viterbi.streaming_decodebits_window(
+                st, decode_delay, n - lo, code
+            )
+            bits_parts.append(np.asarray(out))
+            done_bits += n
     bits = (
         np.concatenate(bits_parts, axis=1)
         if bits_parts

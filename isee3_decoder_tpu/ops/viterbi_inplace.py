@@ -344,42 +344,54 @@ def stream_update(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("delay", "count", "code"))
+@functools.partial(jax.jit, static_argnames=("delay", "count", "code", "skip"))
 def stream_decodebits(
     state: StreamState,
     delay: int,
     count: int,
     code: CodeSpec = DEFAULT_CODE,
+    skip: int = 0,
 ) -> jax.Array:
-    """Fixed-delay outputs for the last ``count`` steps (vdecode mode on
-    the fast kernel).  Requires tape_len >= count + delay."""
+    """Fixed-delay outputs for ``count`` steps ending ``skip`` steps
+    before the newest plane (vdecode mode on the fast kernel).  Requires
+    tape_len >= skip + count + delay.  ``skip`` lets a caller ignore
+    erasure-padded steps appended by a cycle-aligned update."""
     w = code.k - 1
     k = code.k
     B = state.metrics.shape[0]
     L = jnp.int32(state.decisions.shape[0])
     mask = jnp.int32(2**w - 1)
+    nw = state.decisions.shape[2]
+    # One flat word gather per traceback step: indexing the tape as
+    # decisions[slot] would materialize whole (B, n//32) planes per
+    # offset lane (plane-sized HBM traffic × count lanes × delay steps);
+    # flat (count*B,) gathers keep each step's traffic to a few words.
+    flat = state.decisions.reshape(-1)
+    bidx = jnp.arange(B, dtype=jnp.int32)[None, :]
 
-    def one(offset):
-        def step(endstate, d):
-            # plane for absolute step T = total-1-offset-d, layout (T+1)%w
-            T = state.total - 1 - offset - d
-            slot = jax.lax.rem(state.dp - 1 - offset - d + 4 * L, L)
-            r = jnp.mod(T + 1, w)
-            s = endstate.astype(jnp.int32)
-            p = ((s >> r) | (s << (w - r))) & mask
-            bit = _pos_bit(state.decisions[slot], p).astype(jnp.int32)
-            endstate = ((bit << (k - 2)) | (s >> 1)).astype(jnp.uint32)
-            return endstate, bit
+    def step(endstate, d):
+        # endstate: (count, B) uint32; plane for absolute step
+        # T = total-1-offset-d has layout rotation (T+1) % w
+        T = state.total - 1 - offsets[:, None] - d
+        slot = jax.lax.rem(state.dp - 1 - offsets[:, None] - d + 4 * L, L)
+        r = jnp.mod(T + 1, w)
+        s = endstate.astype(jnp.int32)
+        p = ((s >> r) | (s << (w - r))) & mask
+        row = p >> 7
+        lane = p & 127
+        word = (row >> 5) * 128 + lane
+        wv = flat[(slot * B + bidx) * nw + word]
+        bit = ((wv >> (row & 31).astype(jnp.uint32)) & 1).astype(jnp.int32)
+        endstate = ((bit << (k - 2)) | (s >> 1)).astype(jnp.uint32)
+        return endstate, bit
 
-        _, bits = jax.lax.scan(
-            step,
-            jnp.zeros((B,), jnp.uint32),
-            jnp.arange(delay, dtype=jnp.int32),
-        )
-        return bits[-1].astype(jnp.uint8)
-
-    offsets = jnp.arange(count - 1, -1, -1, dtype=jnp.int32)
-    return jax.vmap(one)(offsets).T
+    offsets = jnp.arange(skip + count - 1, skip - 1, -1, dtype=jnp.int32)
+    _, bits = jax.lax.scan(
+        step,
+        jnp.zeros((count, B), jnp.uint32),
+        jnp.arange(delay, dtype=jnp.int32),
+    )
+    return bits[-1].astype(jnp.uint8).T
 
 
 @functools.partial(jax.jit, static_argnames=("nbits", "code", "dtype"))

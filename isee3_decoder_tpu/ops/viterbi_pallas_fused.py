@@ -40,6 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 from isee3_decoder_tpu.config import DEFAULT_CODE, CodeSpec
 from isee3_decoder_tpu.ops import viterbi as vit
 from isee3_decoder_tpu.ops.viterbi_inplace import (
+    StreamState,
     _branch_masks,
     _rotr,
     chainback_inplace,
@@ -406,6 +407,59 @@ def update_frame_fused(
             [decs, jnp.swapaxes(rem_dec, 0, 1)], axis=0
         )
     return m, decs, total
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("code", "ta", "rb", "interpret"),
+    donate_argnums=(0,),
+)
+def stream_update_fused(
+    state: StreamState,
+    syms: jax.Array,
+    code: CodeSpec = DEFAULT_CODE,
+    ta: int = 8192,
+    rb: int = 8,
+    interpret: bool = False,
+) -> StreamState:
+    """Advance a rotating-layout streaming decoder with the fused-cycle
+    kernels (the fast path for vdecode-style unbounded streams,
+    vdecode.c:142-152 / viterbi224_sse2.c:379-380).
+
+    Cycle/tape alignment contract (so the StreamState invariants
+    ``dp == total mod tape_len`` hold and ``stream_decodebits`` works
+    unchanged): the chunk must be a multiple of W = K-1 (the metric
+    layout returns to P_0 after whole cycles), and the caller must keep
+    every write inside the circular tape without straddling the wrap
+    (``dp + chunk <= tape_len``; e.g. feed fixed-size chunks that divide
+    tape_len, with at most one shorter final chunk).  Callers pad the
+    final partial chunk with erasures (128) and pass ``skip`` to
+    stream_decodebits.
+    """
+    w = code.k - 1
+    B = state.metrics.shape[0]
+    if syms.ndim == 1:
+        syms = syms[None, :]
+    nbits = syms.shape[-1] // 2
+    L = state.decisions.shape[0]
+    if nbits % w:
+        raise ValueError(f"chunk ({nbits} bits) must be a multiple of W={w}")
+    if nbits > L:
+        raise ValueError(f"chunk {nbits} exceeds tape_len {L}")
+    m, decs, ren = update_frame_fused(
+        state.metrics, syms, nbits, code, ta, rb, interpret
+    )
+    tape = jax.lax.dynamic_update_slice_in_dim(
+        state.decisions, decs.astype(jnp.uint32), state.dp, axis=0
+    )
+    dp = jax.lax.rem(state.dp + nbits, jnp.int32(L))
+    return StreamState(
+        metrics=m,
+        decisions=tape,
+        dp=dp,
+        total=state.total + nbits,
+        renorm=state.renorm + ren,
+    )
 
 
 @functools.partial(

@@ -61,6 +61,31 @@ def test_vdecode_stream_small():
     assert int(res.symbol_errors[0]) == 0
 
 
+def test_vdecode_stream_fused_backend_matches():
+    """vdecode's fused-kernel streaming backend is bit-identical to the
+    classic kernel.  K=15 (the smallest code the fused kernels' column
+    packing supports); the 140-bit stream sits far below the cycle-
+    aligned chunk, exercising the erasure-padded final-chunk path."""
+    rng = np.random.default_rng(12)
+    from isee3_decoder_tpu.config import CodeSpec
+    from isee3_decoder_tpu.ops import encode_bits
+
+    code = CodeSpec("TESTK15", 0o46321, 0o51445, 15, 0, 1)
+    nbits, delay = 140, 40
+    bits = rng.integers(0, 2, nbits, dtype=np.uint8)
+    syms, _ = encode_bits(jnp.asarray(bits), 0, code)
+    soft = np.clip(
+        np.where(np.asarray(syms) > 0, 180, 76).astype(np.int32)
+        + rng.integers(-60, 60, 2 * nbits),
+        0,
+        255,
+    ).astype(np.uint8)
+    res = legacy.vdecode_stream(jnp.asarray(soft), delay, code)
+    res_f = legacy.vdecode_stream(jnp.asarray(soft), delay, code, backend="fused")
+    np.testing.assert_array_equal(res_f.bits, res.bits)
+    np.testing.assert_array_equal(res_f.symbol_errors, res.symbol_errors)
+
+
 def test_icesync_frames_synthetic_baseband():
     """icesync on synthetic Manchester baseband finds syncs and decodes."""
     rng = np.random.default_rng(3)

@@ -62,3 +62,43 @@ def test_fused_mcqli24_smoke():
     )
     np.testing.assert_array_equal(got, want)
     np.testing.assert_array_equal(got[0], bits)
+
+
+def test_streaming_fused_matches_classic():
+    """Fused-kernel streaming mode (cycle-aligned chunks into the
+    circular tape, erasure-padded final chunk + skip) reproduces the
+    classic kernel's fixed-delay outputs."""
+    from isee3_decoder_tpu.ops import viterbi_inplace as vip
+    from isee3_decoder_tpu.ops.viterbi_pallas_fused import stream_update_fused
+
+    rng = np.random.default_rng(22)
+    w = K15.k - 1  # 14
+    nbits, delay = 300, 60
+    bits = rng.integers(0, 2, nbits, dtype=np.uint8)
+    syms, _ = encode_bits(jnp.asarray(bits), 0, K15)
+    soft = np.where(np.asarray(syms) > 0, 200, 56).astype(np.uint8)
+
+    chunk = 10 * w  # 140
+    tape_len = 2 * chunk  # multiple of chunk, >= skip + chunk + delay
+    st = vip.stream_create(tape_len, 1, K15, 0)
+    outs, done = [], 0
+    while done < nbits:
+        n = min(chunk, nbits - done)
+        npad = -(-n // w) * w
+        block = np.full((1, 2 * npad), 128, np.uint8)
+        block[0, : 2 * n] = soft[2 * done : 2 * (done + n)]
+        st = stream_update_fused(st, jnp.asarray(block), K15, interpret=True)
+        lo = max(delay - done, 0)
+        if n - lo > 0:
+            outs.append(
+                np.asarray(
+                    vip.stream_decodebits(st, delay, n - lo, K15, skip=npad - n)
+                )
+            )
+        done += n
+    got = np.concatenate(outs, axis=1)
+
+    st2 = viterbi.create(nbits, 1, K15, 0)
+    st2 = viterbi.update_blk(st2, jnp.asarray(soft), K15)
+    want = np.asarray(viterbi.streaming_decodebits(st2, delay, K15))
+    np.testing.assert_array_equal(got, want)
