@@ -135,8 +135,18 @@ def main() -> None:
     rec, _ = decode_block(soft, f_avail, cfg.decode)
     t_decode = time.perf_counter() - t0
 
+    # Headline: the ENTIRE chain (demod → sync → decode) as ONE fused
+    # device program with a single packed fetch (models/pipeline.
+    # receive_block) — the TPU-native form of the 3-process pipe chain.
+    from isee3_decoder_tpu.models.pipeline import receive_block
+
+    receive_block(iq, f_avail, cfg)  # warmup/compile
+    t0 = time.perf_counter()
+    rec, _ = receive_block(iq, f_avail, cfg)
+    t_chain = time.perf_counter() - t0
+
     total_samples = nchan * nsamples
-    wall = t_demod + t_decode
+    wall = t_chain
     samples_per_sec = total_samples / wall
     channels_realtime = samples_per_sec / samprate
 
@@ -158,6 +168,7 @@ def main() -> None:
             "t_synth_s": round(t_synth, 3),
             "t_demod_s": round(t_demod, 3),
             "t_decode_s": round(t_decode, 3),
+            "t_chain_s": round(t_chain, 3),
             "t_fetch_s": round(t_fetch, 3),
             "nchan": nchan,
             "seconds_per_chan": round(seconds, 2),

@@ -375,6 +375,45 @@ def decode_block_device(
     )
 
 
+def unpack_block_buffer(
+    buf: np.ndarray, B: int, nframes: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Split a decode_block_device result buffer into
+    (data, good, decoder, ok, cycles, sync_start)."""
+    L = B * nframes
+    nb = FRAMEBITS // 8
+    data = buf[: nb * L].reshape(L, nb).copy()
+    good = buf[nb * L : nb * L + L].astype(bool)
+    decoder = buf[nb * L + L : nb * L + 2 * L].astype(np.int32)
+    ok = buf[nb * L + 2 * L : nb * L + 3 * L].astype(bool)
+    cycles = buf[nb * L + 3 * L : nb * L + 7 * L].view(np.int32).copy()
+    ss = buf[nb * L + 7 * L :].view(np.int32).astype(np.int64)
+    return data, good, decoder, ok, cycles, ss
+
+
+def viterbi_fallback_inplace(
+    data: np.ndarray,
+    good: np.ndarray,
+    decoder: np.ndarray,
+    ok: np.ndarray,
+    starts: np.ndarray,
+    symbols: np.ndarray,
+    nframes: int,
+    cfg: DecodeConfig,
+) -> None:
+    """Host-driven batched Viterbi over the lanes no device tier decoded
+    (persistent-hybrid policy); patches the result arrays in place."""
+    sub = np.nonzero(~ok)[0]
+    if not cfg.viterbi_enabled or sub.size == 0:
+        return
+    idx = starts.reshape(-1)[sub, None] + np.arange(FRAMESYMBOLS)[None, :]
+    fsyms = np.take_along_axis(symbols[sub // nframes], idx, axis=-1)
+    vbits = _viterbi_decode(jnp.asarray(fsyms), cfg)
+    data[sub] = np.asarray(bits_to_bytes(vbits))
+    good[sub] = np.asarray(verify_frame(vbits))
+    decoder[sub] = DECODER_VITERBI
+
+
 def decode_block(
     symbols,
     nframes: int,
@@ -390,28 +429,15 @@ def decode_block(
     if symbols.ndim == 1:
         symbols = symbols[None, :]
     B = symbols.shape[0]
-    L = B * nframes
-    nb = FRAMEBITS // 8
     buf = np.asarray(decode_block_device(symbols, nframes, npos, cfg))
-    data = buf[: nb * L].reshape(L, nb).copy()
-    good = buf[nb * L : nb * L + L].astype(bool)
-    decoder = buf[nb * L + L : nb * L + 2 * L].astype(np.int32)
-    ok = buf[nb * L + 2 * L : nb * L + 3 * L].astype(bool)
-    cycles = buf[nb * L + 3 * L : nb * L + 7 * L].view(np.int32).copy()
-    ss = buf[nb * L + 7 * L :].view(np.int32).astype(np.int64)
+    data, good, decoder, ok, cycles, ss = unpack_block_buffer(buf, B, nframes)
     starts = (
         ss[:, None] + SYNCBITS + FRAMESYMBOLS * np.arange(nframes)[None, :]
     )
-
-    if cfg.viterbi_enabled and (~ok).any():
-        sub = np.nonzero(~ok)[0]
-        sym_np = np.asarray(symbols)
-        idx = starts.reshape(-1)[sub, None] + np.arange(FRAMESYMBOLS)[None, :]
-        fsyms = np.take_along_axis(sym_np[sub // nframes], idx, axis=-1)
-        vbits = _viterbi_decode(jnp.asarray(fsyms), cfg)
-        data[sub] = np.asarray(bits_to_bytes(vbits))
-        good[sub] = np.asarray(verify_frame(vbits))
-        decoder[sub] = DECODER_VITERBI
+    if (~ok).any():
+        viterbi_fallback_inplace(
+            data, good, decoder, ok, starts, np.asarray(symbols), nframes, cfg
+        )
 
     rec = FrameRecord(
         data=data,

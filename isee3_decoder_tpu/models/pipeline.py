@@ -12,6 +12,7 @@ block/window scans.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import NamedTuple
 
 import jax
@@ -21,7 +22,10 @@ import numpy as np
 from isee3_decoder_tpu.models.decode import (
     DecodeConfig,
     FrameRecord,
+    decode_block_device,
     decode_stream,
+    unpack_block_buffer,
+    viterbi_fallback_inplace,
 )
 from isee3_decoder_tpu.models.symdemod import (
     initial_firstsample,
@@ -106,6 +110,65 @@ def run_wideband(
     if channels is not None:
         y = y[jnp.asarray(channels)]
     return run_pipeline(np.asarray(y), cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("nframes", "npos", "cfg"))
+def receive_block_device(
+    iq: jax.Array,
+    nframes: int,
+    npos: int,
+    cfg: PipelineConfig = PipelineConfig(),
+) -> jax.Array:
+    """The ENTIRE receive chain as one device program: PM carrier demod →
+    symbol demod → sync search → quicklook/Fano frame decode → packed
+    result buffer (decode.decode_block_device layout).
+
+    This is the TPU-native form of the reference's three-process pipe
+    chain (README.txt:9): the byte streams become device-resident arrays
+    flowing between fused stages, with one dispatch and one small fetch
+    per block of channels×seconds.
+    """
+    soft, _, _, _ = demod_to_symbols(iq, cfg)
+    return decode_block_device(soft, nframes, npos, cfg.decode)
+
+
+def receive_block(
+    iq,
+    nframes: int,
+    cfg: PipelineConfig = PipelineConfig(),
+    npos: int | None = None,
+) -> tuple[FrameRecord, np.ndarray]:
+    """Host wrapper for the fused receive chain: one dispatch + one
+    fetch; host-driven Viterbi fallback only if a lane fails the device
+    tiers (the soft symbols are then recomputed for just those lanes).
+
+    Returns (FrameRecord with batch axis B*nframes, sync_start (B,)).
+    """
+    from isee3_decoder_tpu.config import FRAMESYMBOLS, SYNCBITS
+
+    iq = jnp.asarray(iq)
+    if iq.ndim == 1:
+        iq = iq[None, :]
+    B = iq.shape[0]
+    if npos is None:
+        npos = FRAMESYMBOLS
+    buf = np.asarray(receive_block_device(iq, nframes, npos, cfg))
+    data, good, decoder, ok, cycles, ss = unpack_block_buffer(buf, B, nframes)
+    starts = ss[:, None] + SYNCBITS + FRAMESYMBOLS * np.arange(nframes)[None, :]
+    if (~ok).any():
+        soft, _, _, _ = demod_to_symbols(iq, cfg)
+        viterbi_fallback_inplace(
+            data, good, decoder, ok, starts, np.asarray(soft), nframes,
+            cfg.decode,
+        )
+    rec = FrameRecord(
+        data=data,
+        good=good,
+        decoder=decoder,
+        start_symbol=starts.reshape(-1),
+        fano_cycles=cycles,
+    )
+    return rec, ss
 
 
 def run_pipeline(iq: np.ndarray, cfg: PipelineConfig = PipelineConfig()) -> PipelineResult:

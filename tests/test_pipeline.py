@@ -99,3 +99,43 @@ def test_decode_stream_noisy_channel_sim():
     assert len(goods) >= 1
     for r in goods:
         assert any(np.array_equal(r.data[0], f) for f in frames)
+
+
+def test_receive_block_fused_chain():
+    """The single-program fused receive chain (IQ -> packed frames in one
+    dispatch) recovers the transmitted frames of two channels."""
+    from isee3_decoder_tpu.models.pipeline import receive_block
+
+    rng = np.random.default_rng(7)
+    frames = testsignal.random_frames(rng, 5)
+    iqs = []
+    for carrier in (20_000.0, 23_500.0):
+        # lead <= 33 keeps the first sync inside the 2048-position search
+        # of the fused block's find_sync (decode.c:162-193 window)
+        iqs.append(
+            testsignal.synthesize_iq(
+                frames,
+                samprate=250_000.0,
+                symrate=1024.0,
+                carrier=carrier,
+                noise_std=800.0,
+                lead_symbols=20,
+                rng=rng,
+            )
+        )
+    L = min(len(q) for q in iqs)
+    iq = np.stack([q[:L] for q in iqs])
+    cfg = PipelineConfig(
+        pm=PMConfig(samprate=250_000.0, binsize=4.0, search_width=100.0),
+        sym=SymConfig(samprate=250_000.0, symrate=1024.0),
+        decode=DecodeConfig(),
+    )
+    nframes = 2
+    rec, ss = receive_block(iq, nframes, cfg)
+    assert rec.good.all()
+    data = rec.data.reshape(2, nframes, FRAMEBITS // 8)
+    for ch in range(2):
+        for f in range(nframes):
+            assert any(np.array_equal(data[ch, f], fr) for fr in frames), (
+                f"channel {ch} frame {f} does not match any transmitted frame"
+            )
