@@ -60,7 +60,7 @@ def main() -> None:
     small = os.environ.get("BENCH_SMALL", "") == "1"
     samprate = 250_000.0
     symrate = 1024.0
-    nchan = 4 if small else 32
+    nchan = 4 if small else int(os.environ.get("BENCH_NCHAN", "32"))
     nframes = 3 if small else 4
     seconds = (nframes * 2048 + 400) / symrate  # frames + slack
     nsamples = int(seconds * samprate)

@@ -107,6 +107,37 @@ def _parity(x):
     return x & 1
 
 
+def _mask_parity(row_iota, col_iota, rmask: int, cmask: int):
+    """parity(row & rmask) ^ parity(col & cmask) with single-bit masks
+    reduced to a shift+and (no XOR fold)."""
+    parts = []
+    for iota, mask in ((row_iota, rmask), (col_iota, cmask)):
+        if mask == 0:
+            continue
+        if mask & (mask - 1) == 0:  # one bit: direct extract
+            parts.append((iota >> (mask.bit_length() - 1)) & 1)
+        else:
+            parts.append(_parity(iota & mask))
+    if not parts:
+        return 0
+    out = parts[0]
+    for p in parts[1:]:
+        out = out ^ p
+    return out
+
+
+def _pb_pair(row_iota, col_iota, rh1, cl1, rh2, cl2, code: CodeSpec):
+    """Both branch-bit planes for one step.
+
+    pb1 is derived from pb0 via parity(x & (m1 ^ m2)) — for quick-look-in
+    codes the combined mask has a single bit (poly1 ^ poly2 == 0b10
+    rotated), so the second full XOR fold collapses to one shift+and.
+    """
+    pb0 = _mask_parity(row_iota, col_iota, rh1, cl1) ^ code.g1flip
+    d = _mask_parity(row_iota, col_iota, rh1 ^ rh2, cl1 ^ cl2)
+    return pb0, pb0 ^ d ^ code.g1flip ^ code.g2flip
+
+
 def _pack_words(dd, nrows, ncols):
     """(nrows, ncols) 0/1 int32 decision bits at positions
     p = (row_base + r)*ncols_global… — packed along the canonical layout
@@ -137,7 +168,12 @@ def _kernel_a(syms_ref, base_ref, m_ref, out_ref, dec_ref, *, code, nsteps, ta):
     c = pl.program_id(1)
     col0 = c * ta
 
-    m = m_ref[0].astype(jnp.int32)  # (nrows, TA)
+    # base_ref carries the deferred renormalization offset (the previous
+    # cycle's global min, computed from kernel B's tile minima) — the
+    # subtraction fuses into this kernel's read pass, so no separate
+    # full-array renorm pass is needed (viterbi224_sse2.c:351-377's lazy
+    # renorm, restructured for the fused cycle).
+    m = m_ref[0].astype(jnp.int32) - base_ref[pl.program_id(0)]  # (nrows, TA)
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, ta), 1) + col0
     row_iota_full = jax.lax.broadcasted_iota(jnp.int32, (nrows, 1), 0)
 
@@ -149,12 +185,7 @@ def _kernel_a(syms_ref, base_ref, m_ref, out_ref, dec_ref, *, code, nsteps, ta):
         hi = v[:, 1]
         # positions of lo elements: rows with bit (rowb-1-t) == 0
         lo_rows = row_iota_full.reshape(1 << t, 2, half, 1)[:, 0]
-        pb0 = (
-            _parity(lo_rows & rh1) ^ _parity(col_iota & cl1)
-        ) ^ code.g1flip
-        pb1 = (
-            _parity(lo_rows & rh2) ^ _parity(col_iota & cl2)
-        ) ^ code.g2flip
+        pb0, pb1 = _pb_pair(lo_rows, col_iota, rh1, cl1, rh2, cl2, code)
         s0 = syms_ref[pl.program_id(0), 2 * t]
         s1 = syms_ref[pl.program_id(0), 2 * t + 1]
         nl, nh, d0, d1 = _acs_pair(lo, hi, pb0, pb1, s0, s1, mdt)
@@ -169,7 +200,7 @@ def _kernel_a(syms_ref, base_ref, m_ref, out_ref, dec_ref, *, code, nsteps, ta):
     out_ref[0] = m.astype(out_ref.dtype)
 
 
-def _kernel_b(syms_ref, base_ref, m_ref, out_ref, dec_ref, *, code, nsteps, rb):
+def _kernel_b(syms_ref, base_ref, m_ref, out_ref, dec_ref, min_ref, *, code, nsteps, rb):
     """Column-pairing steps ROWB..ROWB+nsteps-1 on a (RB, 2^COLB) row
     tile (full rows).  int32 arithmetic — see _kernel_a.
 
@@ -194,8 +225,7 @@ def _kernel_b(syms_ref, base_ref, m_ref, out_ref, dec_ref, *, code, nsteps, rb):
         o = 1 << s
         hi_bit = (col_iota >> s) & 1  # 1 at high (odd) pair positions
         col_lo = col_iota & ~o  # column of this pair's low element
-        pb0 = (_parity(row_iota & rh1) ^ _parity(col_lo & cl1)) ^ code.g1flip
-        pb1 = (_parity(row_iota & rh2) ^ _parity(col_lo & cl2)) ^ code.g2flip
+        pb0, pb1 = _pb_pair(row_iota, col_lo, rh1, cl1, rh2, cl2, code)
         # syms_ref holds only this phase's pairs, indexed by j not t
         s0 = syms_ref[pl.program_id(0), 2 * j]
         s1 = syms_ref[pl.program_id(0), 2 * j + 1]
@@ -214,6 +244,9 @@ def _kernel_b(syms_ref, base_ref, m_ref, out_ref, dec_ref, *, code, nsteps, rb):
             rb, ncols // 4096, 128
         )
     out_ref[0] = m.astype(out_ref.dtype)
+    # per-tile minimum for the next cycle's fused renorm (broadcast into
+    # an (8, 128) tile — Mosaic's minimum output block granularity)
+    min_ref[0, 0] = jnp.full((8, 128), jnp.min(m), jnp.int32)
 
 
 @functools.partial(
@@ -226,10 +259,13 @@ def cycle_a(
     nsteps: int | None = None,
     ta: int = 8192,
     interpret: bool = False,
+    base: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Steps 0..nsteps-1 (row-pairing phase).
 
     metrics: (B, 2^W) in P_0 layout; syms: (B, 2*nsteps) int32.
+    base: optional (B,) int32 deferred renorm offset subtracted from the
+    metrics as they are read (fused lazy renormalization).
     Returns (metrics after nsteps, decisions (B, nsteps, 2^W//32)).
     """
     w, rowb, colb = _geometry(code)
@@ -270,7 +306,13 @@ def cycle_a(
         if interpret
         else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(syms.astype(jnp.int32), jnp.zeros((B,), jnp.int32), m3)
+    )(
+        syms.astype(jnp.int32),
+        jnp.zeros((B,), jnp.int32)
+        if base is None
+        else jnp.asarray(base, jnp.int32),
+        m3,
+    )
     return new.reshape(B, n), dec.reshape(B, nsteps, n // 32).astype(jnp.uint32)
 
 
@@ -284,11 +326,13 @@ def cycle_b(
     nsteps: int | None = None,
     rb: int = 8,
     interpret: bool = False,
-) -> tuple[jax.Array, jax.Array]:
+) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Steps ROWB..ROWB+nsteps-1 (column-pairing phase).
 
     metrics: (B, 2^W) in P_ROWB layout; syms: (B, 2*nsteps) for those
-    steps.  Returns (metrics, decisions (B, nsteps, 2^W//32)).
+    steps.  Returns (metrics, decisions (B, nsteps, 2^W//32),
+    mins (B,) int32 — the global metric min, for the next cycle's fused
+    renorm).
     """
     w, rowb, colb = _geometry(code)
     if nsteps is None:
@@ -312,16 +356,18 @@ def cycle_b(
                 (1, nsteps, rb, ncols // 4096, 128),
                 lambda b, r, *_: (b, 0, r, 0, 0),
             ),
+            pl.BlockSpec((1, 1, 8, 128), lambda b, r, *_: (b, r, 0, 0)),
         ),
     )
     kern = functools.partial(_kernel_b, code=code, nsteps=nsteps, rb=rb)
-    new, dec = pl.pallas_call(
+    new, dec, mins = pl.pallas_call(
         kern,
         out_shape=(
             jax.ShapeDtypeStruct((B, nrows, ncols), metrics.dtype),
             jax.ShapeDtypeStruct(
                 (B, nsteps, nrows, ncols // 4096, 128), jnp.int32
             ),
+            jax.ShapeDtypeStruct((B, ntiles, 8, 128), jnp.int32),
         ),
         grid_spec=grid_spec,
         compiler_params=None
@@ -329,7 +375,11 @@ def cycle_b(
         else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(syms.astype(jnp.int32), jnp.zeros((B,), jnp.int32), m3)
-    return new.reshape(B, n), dec.reshape(B, nsteps, n // 32).astype(jnp.uint32)
+    return (
+        new.reshape(B, n),
+        dec.reshape(B, nsteps, n // 32).astype(jnp.uint32),
+        mins[:, :, 0, 0].min(axis=1),
+    )
 
 
 @functools.partial(
@@ -360,27 +410,39 @@ def update_frame_fused(
     rem = nbits - ncycles * w
 
     def renorm(m, total):
-        gmin = m.min(axis=1, keepdims=True)
-        return m - gmin, total + gmin[:, 0].astype(jnp.int32)
+        gmin = m.min(axis=1, keepdims=True).astype(jnp.int32)
+        return (
+            (m.astype(jnp.int32) - gmin).astype(m.dtype),
+            total + gmin[:, 0],
+        )
 
+    # Deferred (fused) renormalization: kernel B emits per-tile minima,
+    # and the NEXT cycle's kernel A subtracts the resulting global min as
+    # it reads — no separate full-array renorm pass.  One cycle of
+    # deferral keeps int16 metrics well in range: after subtraction
+    # values are <= the path-metric spread (~(K-1)*510), and one cycle
+    # adds at most (K-1)*510 more.
     def one_cycle(carry, sym_cycle):
-        m, total = carry
+        m, total, base = carry
         sa = sym_cycle[:, : 2 * rowb]
         sb = sym_cycle[:, 2 * rowb :]
-        m, deca = cycle_a(m, sa, code, rowb, ta, interpret)
-        m, decb = cycle_b(m, sb, code, w - rowb, rb, interpret)
-        m, total = renorm(m, total)
-        return (m, total), jnp.concatenate([deca, decb], axis=1)
+        m, deca = cycle_a(m, sa, code, rowb, ta, interpret, base)
+        total = total + base
+        m, decb, mins = cycle_b(m, sb, code, w - rowb, rb, interpret)
+        return (m, total, mins), jnp.concatenate([deca, decb], axis=1)
 
     total0 = jnp.zeros((B,), jnp.int32)
+    base0 = jnp.zeros((B,), jnp.int32)
     if ncycles > 0:
         cyc_syms = flat[:, : 2 * ncycles * w].reshape(B, ncycles, 2 * w)
         cyc_syms = jnp.swapaxes(cyc_syms, 0, 1)  # (ncycles, B, 2w)
-        (m, total), decs = jax.lax.scan(one_cycle, (metrics0, total0), cyc_syms)
+        (m, total, base), decs = jax.lax.scan(
+            one_cycle, (metrics0, total0, base0), cyc_syms
+        )
         # decs: (ncycles, B, w, n//32) → (ncycles*w, B, n//32)
         decs = jnp.swapaxes(decs, 1, 2).reshape(ncycles * w, B, n // 32)
     else:
-        m, total = metrics0, total0
+        m, total, base = metrics0, total0, base0
         decs = jnp.zeros((0, B, n // 32), jnp.uint32)
 
     if rem:
@@ -388,12 +450,13 @@ def update_frame_fused(
         na = min(rem, rowb)
         m, deca = cycle_a(
             m, jax.lax.dynamic_slice_in_dim(flat, start, 2 * na, axis=1),
-            code, na, ta, interpret,
+            code, na, ta, interpret, base,
         )
+        total = total + base
         parts = [deca]
         if rem > rowb:
             nb = rem - rowb
-            m, decb = cycle_b(
+            m, decb, _ = cycle_b(
                 m,
                 jax.lax.dynamic_slice_in_dim(
                     flat, start + 2 * rowb, 2 * nb, axis=1
@@ -406,6 +469,10 @@ def update_frame_fused(
         decs = jnp.concatenate(
             [decs, jnp.swapaxes(rem_dec, 0, 1)], axis=0
         )
+    else:
+        # apply the last pending base so returned metrics are renormed
+        m = (m.astype(jnp.int32) - base[:, None]).astype(m.dtype)
+        total = total + base
     return m, decs, total
 
 
