@@ -32,6 +32,10 @@ def main(argv=None) -> int:
     p.add_argument("--backend", default="jnp",
                    choices=["jnp", "inplace", "fused"],
                    help="Viterbi kernel backend (bit-identical outputs)")
+    p.add_argument("--no-quicklook", action="store_true",
+                   help="disable the quick-look fast tier (error-free "
+                        "frames then always pay the Fano walk; output "
+                        "is identical either way)")
     a = p.parse_args(argv)
 
     force_cpu_if_requested()
@@ -56,6 +60,7 @@ def main(argv=None) -> int:
         fano_delta=delta,
         fano_maxcycles=a.fano_maxcycles,
         viterbi_backend=a.backend,
+        quicklook=not a.no_quicklook,
     )
     print(
         f"decode: Fano {'enabled' if fano_enabled else 'disabled'}; "

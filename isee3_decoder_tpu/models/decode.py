@@ -179,15 +179,27 @@ def decode_stream(
         decode_ok = np.zeros(B, bool)
         cycles = np.zeros(B, np.int32)
 
+        ql_ok = np.zeros(B, bool)
+        if cfg.quicklook:
+            qbits, qok = _quicklook_frames(fsyms, cfg.code)
+            ql_ok = np.asarray(qok)
+            if ql_ok.any():
+                bits[ql_ok] = np.asarray(qbits)[ql_ok]
+                decoder[ql_ok] = DECODER_QUICKLOOK
+                decode_ok |= ql_ok
+
         if cfg.fano_enabled:
             res = fano_decode(
-                fsyms, mettab, FRAMEBITS, SYNC_STATE, tail, cfg.code, params
+                fsyms, mettab, FRAMEBITS, SYNC_STATE, tail, cfg.code, params,
+                skip=jnp.asarray(ql_ok),
             )
-            decoder[:] = DECODER_FANO
-            fano_ok = np.asarray(res.goodbits) == FRAMEBITS
-            bits = np.asarray(res.bits)
-            decode_ok = fano_ok
-            cycles = np.asarray(res.cycles)
+            fano_ok = ~ql_ok & (np.asarray(res.goodbits) == FRAMEBITS)
+            decoder = np.where(ql_ok, decoder, DECODER_FANO).astype(np.int32)
+            bits = np.where(ql_ok[:, None], bits, np.asarray(res.bits)).astype(
+                np.uint8
+            )
+            decode_ok = ql_ok | fano_ok
+            cycles = np.where(ql_ok, 0, np.asarray(res.cycles))
 
         if cfg.viterbi_enabled:
             # decode.c:209-214 fallback policy

@@ -56,7 +56,14 @@ def test_end_to_end_single_channel():
                 matched += 1
                 break
     assert matched == len(decoded) and matched >= 2
-    assert all(int(r.decoder[0]) == DECODER_FANO for r in good_frames)
+    # at this SNR frames decode via a device tier: the quicklook fast
+    # path when the frame is error-free, Fano otherwise — never Viterbi
+    from isee3_decoder_tpu.models.decode import DECODER_QUICKLOOK
+
+    assert all(
+        int(r.decoder[0]) in (DECODER_FANO, DECODER_QUICKLOOK)
+        for r in good_frames
+    )
 
 
 def test_decode_stream_pure_symbols():
