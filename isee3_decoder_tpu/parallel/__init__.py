@@ -1,6 +1,7 @@
 from isee3_decoder_tpu.parallel.mesh import channel_sharding, make_mesh
 from isee3_decoder_tpu.parallel.sharding import (
     demod_to_symbols_sharded,
+    receive_block_sharded,
     shard_channels,
 )
 from isee3_decoder_tpu.parallel.viterbi_sharded import (
@@ -13,6 +14,7 @@ __all__ = [
     "decode_frame_sharded",
     "demod_to_symbols_sharded",
     "make_mesh",
+    "receive_block_sharded",
     "shard_channels",
     "update_blk_sharded",
 ]

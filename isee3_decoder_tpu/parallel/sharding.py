@@ -14,7 +14,11 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from isee3_decoder_tpu.models.pipeline import PipelineConfig, demod_to_symbols
+from isee3_decoder_tpu.models.pipeline import (
+    PipelineConfig,
+    demod_to_symbols,
+    receive_block_device,
+)
 
 
 def shard_channels(arr: jax.Array, mesh: Mesh) -> jax.Array:
@@ -39,4 +43,26 @@ def demod_to_symbols_sharded(
         lambda x: demod_to_symbols(x, cfg),
         out_shardings=out_sharding,
     )
+    return fn(iq)
+
+
+def receive_block_sharded(
+    iq: jax.Array,
+    nframes: int,
+    cfg: PipelineConfig,
+    mesh: Mesh,
+    npos: int | None = None,
+) -> jax.Array:
+    """Channel-sharded fused receive chain: the whole IQ→frames program
+    (models/pipeline.receive_block_device) jitted over the mesh's 'ch'
+    axis.  Demod/sync/decode are channel-independent, so the only
+    collective XLA inserts is the lockstep Fano loop's all-lanes-done
+    reduction.  Returns the packed result buffer
+    (decode.unpack_block_buffer decodes it)."""
+    from isee3_decoder_tpu.config import FRAMESYMBOLS
+
+    if npos is None:
+        npos = FRAMESYMBOLS
+    iq = shard_channels(jnp.asarray(iq), mesh)
+    fn = jax.jit(lambda x: receive_block_device(x, nframes, npos, cfg))
     return fn(iq)

@@ -83,3 +83,47 @@ def test_mesh_shapes():
     mesh = make_mesh(n_channels_axis=4, n_state_axis=2)
     assert mesh.shape["ch"] == 4
     assert mesh.shape["state"] == 2
+
+
+def test_channel_sharded_receive_block_matches_single_device():
+    """The fused IQ→frames program sharded over the ch axis returns the
+    same packed result buffer as the single-device run (the multi-chip
+    form of the full receive chain)."""
+    _require_devices(8)
+    from isee3_decoder_tpu.models.decode import unpack_block_buffer
+    from isee3_decoder_tpu.models.pipeline import receive_block_device
+    from isee3_decoder_tpu.parallel import receive_block_sharded
+
+    mesh = make_mesh(n_channels_axis=8, n_state_axis=1)
+    rng = np.random.default_rng(5)
+    # 4 tx frames: demod's window slack drops ~2 s, and the first frame
+    # is consumed by sync acquisition — leaving one decodable frame
+    frames = testsignal.random_frames(rng, 4)
+    chans = []
+    for c in range(8):
+        iq = testsignal.synthesize_iq(
+            frames,
+            samprate=250_000.0,
+            symrate=1024.0,
+            carrier=20_000.0 + 140.0 * c,
+            noise_std=800.0,
+            lead_symbols=20,
+            rng=np.random.default_rng(200 + c),
+        )
+        chans.append(iq)
+    L = min(len(q) for q in chans)
+    iq = np.stack([q[:L] for q in chans])
+    cfg = PipelineConfig(
+        pm=PMConfig(samprate=250_000.0, binsize=4.0, search_width=100.0),
+        sym=SymConfig(samprate=250_000.0, symrate=1024.0),
+    )
+    nframes = 1
+
+    buf_s = np.asarray(receive_block_sharded(iq, nframes, cfg, mesh))
+    buf_1 = np.asarray(receive_block_device(jnp.asarray(iq), nframes, 2048, cfg))
+    np.testing.assert_array_equal(buf_s, buf_1)
+
+    data, good, decoder, ok, cycles, ss = unpack_block_buffer(buf_s, 8, nframes)
+    assert good.all()
+    for ch in range(8):
+        assert any(np.array_equal(data[ch], fr) for fr in frames)
