@@ -85,7 +85,8 @@ def main() -> None:
     def synth(frames_dev, key):
         return synthesize_iq_device(
             frames_dev, carriers, key, nsamples,
-            samprate=samprate, symrate=symrate, noise_std=2500.0,
+            samprate=samprate, symrate=symrate,
+            noise_std=float(os.environ.get("BENCH_NOISE_STD", "2500")),
         )
 
     @jax.jit
