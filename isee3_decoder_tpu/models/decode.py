@@ -47,8 +47,38 @@ from isee3_decoder_tpu.utils.metrics import decoder_amplitudes, gen_met
 DECODER_NONE, DECODER_VITERBI, DECODER_FANO, DECODER_QUICKLOOK = 0, 1, 2, 3
 
 
+def batch_shape_bounded(fn, fsyms, chunk: int = 4):
+    """Run a batched decode in fixed-size chunks, padding the tail by
+    repeating its first row (results for pad rows are dropped).
+
+    The failure-subset batch size is data-dependent; without this, every
+    distinct subset size compiles its own program variant (recompiles
+    through a tunneled TPU runtime cost minutes).  This bounds the
+    variants to sizes {1, 2, chunk} (1 and 2 pass through unpadded —
+    they are common and cheaper than padding to the full chunk).
+    """
+    B = fsyms.shape[0]
+    if B in (1, 2) or B == chunk:
+        return fn(fsyms)
+    outs = []
+    for lo in range(0, B, chunk):
+        part = fsyms[lo : lo + chunk]
+        if part.shape[0] < chunk and part.shape[0] not in (1, 2):
+            reps = jnp.broadcast_to(
+                part[:1], (chunk - part.shape[0], *part.shape[1:])
+            )
+            padded = jnp.concatenate([part, reps], axis=0)
+            outs.append(fn(padded)[: part.shape[0]])
+        else:
+            outs.append(fn(part))
+    return jnp.concatenate(outs, axis=0)
+
+
 def _viterbi_decode(fsyms, cfg: "DecodeConfig"):
-    """Dispatch the frame decode to the configured Viterbi kernel."""
+    """Dispatch the frame decode to the configured Viterbi kernel, in
+    shape-bounded chunks (see batch_shape_bounded)."""
+    if fsyms.shape[0] not in (1, 2, 4):
+        return batch_shape_bounded(lambda part: _viterbi_decode(part, cfg), fsyms)
     if cfg.viterbi_backend == "fused":
         from isee3_decoder_tpu.ops.viterbi_pallas_fused import decode_frame_fused
 

@@ -27,7 +27,7 @@ def main():
     from isee3_decoder_tpu.utils.devicesignal import synthesize_iq_device
 
     samprate, symrate = 250_000.0, 1024.0
-    nchan, nframes = 32, 4
+    nchan, nframes = int(os.environ.get("PROF_NCHAN", "32")), 4
     seconds = (nframes * 2048 + 400) / symrate
     nsamples = int(seconds * samprate)
 

@@ -116,3 +116,23 @@ def test_decode_block_fused_matches_batch():
     for b in range(2):
         for f in range(nframes):
             np.testing.assert_array_equal(data[b, f], frames[f + 1])
+
+
+def test_batch_shape_bounded_chunking():
+    """The dynamic-subset chunker only ever invokes the decode fn at
+    batch sizes {1, 2, chunk}, pads tails by repetition, and reassembles
+    results in order."""
+    from isee3_decoder_tpu.models.decode import batch_shape_bounded
+
+    calls = []
+
+    def fn(part):
+        calls.append(int(part.shape[0]))
+        return part * 2
+
+    for B in (1, 2, 3, 4, 5, 6, 7, 9):
+        calls.clear()
+        x = jnp.arange(B * 3, dtype=jnp.int32).reshape(B, 3)
+        out = np.asarray(batch_shape_bounded(fn, x, chunk=4))
+        np.testing.assert_array_equal(out, np.asarray(x) * 2)
+        assert set(calls) <= {1, 2, 4}, f"B={B}: calls {calls}"
