@@ -95,3 +95,60 @@ def test_bitsync_frames():
         1 for fr in res.frames if any(np.array_equal(fr, f) for f in frames)
     )
     assert matched >= 1
+
+
+def test_fused_stream_state_checkpoint_roundtrip(tmp_path):
+    """The fused-kernel streaming decoder's circular-tape state survives
+    a save/restore mid-stream: the resumed decoder emits the same
+    fixed-delay bits as an uninterrupted run."""
+    from isee3_decoder_tpu.config import CodeSpec
+    from isee3_decoder_tpu.ops import viterbi_inplace as vip
+    from isee3_decoder_tpu.ops.viterbi_pallas_fused import stream_update_fused
+
+    K15 = CodeSpec("TESTK15", 0o46321, 0o51445, 15, 0, 1)
+    w = K15.k - 1
+    rng = np.random.default_rng(9)
+    nbits, delay, chunk = 280, 40, 10 * w  # two cycle-aligned chunks
+    bits = rng.integers(0, 2, nbits, dtype=np.uint8)
+    syms, _ = encode_bits(jnp.asarray(bits), 0, K15)
+    soft = np.where(np.asarray(syms) > 0, 200, 56).astype(np.uint8)
+
+    def run(st, start):
+        outs = []
+        done = start
+        while done < nbits:
+            n = min(chunk, nbits - done)
+            st = stream_update_fused(
+                st, jnp.asarray(soft[2 * done : 2 * (done + n)]), K15,
+                interpret=True,
+            )
+            lo = max(delay - done, 0)
+            if n - lo > 0:
+                outs.append(np.asarray(vip.stream_decodebits(st, delay, n - lo, K15)))
+            done += n
+        return st, outs
+
+    # uninterrupted
+    st_ref, outs_ref = run(vip.stream_create(2 * chunk, 1, K15, 0), 0)
+    want = np.concatenate(outs_ref, axis=1)
+
+    # interrupted after the first chunk, checkpointed, resumed
+    st1, outs1 = run(vip.stream_create(2 * chunk, 1, K15, 0), 0)
+    st_half = vip.stream_create(2 * chunk, 1, K15, 0)
+    st_half = stream_update_fused(
+        st_half, jnp.asarray(soft[: 2 * chunk]), K15, interpret=True
+    )
+    path = tmp_path / "fused_stream.npz"
+    save_pytree(path, st_half)
+    restored = restore_pytree(path, vip.stream_create(2 * chunk, 1, K15, 0))
+    restored = type(st_half)(**{
+        k: jnp.asarray(getattr(restored, k))
+        for k in ("metrics", "decisions", "dp", "total", "renorm")
+    })
+    _, outs_resumed = run(restored, chunk)
+    got = np.concatenate(
+        [np.asarray(vip.stream_decodebits(st_half, delay, chunk - delay, K15))]
+        + outs_resumed,
+        axis=1,
+    )
+    np.testing.assert_array_equal(got, want)
