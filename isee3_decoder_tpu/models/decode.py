@@ -68,10 +68,15 @@ def batch_shape_bounded(fn, fsyms, chunk: int = 4):
                 part[:1], (chunk - part.shape[0], *part.shape[1:])
             )
             padded = jnp.concatenate([part, reps], axis=0)
-            outs.append(fn(padded)[: part.shape[0]])
+            n = part.shape[0]
+            outs.append(jax.tree_util.tree_map(lambda x: x[:n], fn(padded)))
         else:
             outs.append(fn(part))
-    return jnp.concatenate(outs, axis=0)
+    if len(outs) == 1:
+        return outs[0]
+    return jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs, axis=0), *outs
+    )
 
 
 def _viterbi_decode(fsyms, cfg: "DecodeConfig"):
@@ -108,6 +113,14 @@ class DecodeConfig:
     fano_scale: float = 8.0
     fano_delta: int = 32  # 4 * scale
     fano_maxcycles: int = 100
+    #: Two-tier Fano scheduling for the batch paths: the lockstep walk
+    #: first runs with this cycles-per-bit cap (the whole batch spins
+    #: until the SLOWEST lane finishes, so one dead channel would
+    #: otherwise cost maxcycles x nbits iterations for everyone); lanes
+    #: that time out re-run alone at the full fano_maxcycles budget —
+    #: identical outcomes (the walk is deterministic), bounded tail
+    #: latency.  None disables tiering.
+    fano_tier1_maxcycles: int | None = 12
     code: CodeSpec = DEFAULT_CODE
     #: Viterbi kernel: "jnp" (reference), "inplace" (rotating-layout XLA
     #: kernel) or "fused" (fused-cycle Pallas kernels) — bit-identical.
@@ -129,6 +142,12 @@ class DecodeConfig:
 
     def fano_params(self) -> FanoParams:
         return FanoParams(delta=self.fano_delta, maxcycles=self.fano_maxcycles)
+
+    def fano_params_tier1(self) -> FanoParams:
+        cap = self.fano_maxcycles
+        if self.fano_tier1_maxcycles is not None:
+            cap = min(self.fano_tier1_maxcycles, cap)
+        return FanoParams(delta=self.fano_delta, maxcycles=cap)
 
 
 class FrameRecord(NamedTuple):
@@ -337,7 +356,7 @@ def _decode_frames_core(
             SYNC_STATE,
             tail,
             cfg.code,
-            cfg.fano_params(),
+            cfg.fano_params_tier1(),
             skip=ql_ok,
         )
         fano_ok = ~ql_ok & (res.goodbits == FRAMEBITS)
@@ -433,6 +452,53 @@ def unpack_block_buffer(
     return data, good, decoder, ok, cycles, ss
 
 
+def fano_tier2_inplace(
+    data: np.ndarray,
+    good: np.ndarray,
+    decoder: np.ndarray,
+    ok: np.ndarray,
+    cycles: np.ndarray,
+    starts: np.ndarray,
+    symbols: np.ndarray,
+    nframes: int,
+    cfg: DecodeConfig,
+) -> None:
+    """Full-budget Fano re-run over the lanes that timed out at the
+    tier-1 cap (see DecodeConfig.fano_tier1_maxcycles); patches the
+    result arrays in place.  Outcomes equal a single full-budget pass —
+    the walk is deterministic — but the lockstep batch never spins more
+    than tier-1 cycles waiting for stragglers."""
+    if (
+        not cfg.fano_enabled
+        or cfg.fano_tier1_maxcycles is None
+        or cfg.fano_tier1_maxcycles >= cfg.fano_maxcycles
+    ):
+        return
+    sub = np.nonzero(~ok)[0]
+    if sub.size == 0:
+        return
+    idx = starts.reshape(-1)[sub, None] + np.arange(FRAMESYMBOLS)[None, :]
+    fsyms = np.take_along_axis(symbols[sub // nframes], idx, axis=-1)
+    k = cfg.code.k
+    tail = SYNCWORD & ((1 << (k - 1)) - 1)
+    mettab = jnp.asarray(cfg.mettab())
+    res = batch_shape_bounded(
+        lambda part: fano_decode(
+            part, mettab, FRAMEBITS, SYNC_STATE, tail, cfg.code,
+            cfg.fano_params(),
+        ),
+        jnp.asarray(fsyms),
+    )
+    fano_ok = np.asarray(res.goodbits) == FRAMEBITS
+    vf = np.asarray(verify_frame(res.bits))
+    bytes_all = np.asarray(bits_to_bytes(res.bits))
+    upd = sub[fano_ok]
+    data[upd] = bytes_all[fano_ok]
+    good[upd] = vf[fano_ok]
+    ok[upd] = True
+    cycles[sub] = np.asarray(res.cycles)
+
+
 def viterbi_fallback_inplace(
     data: np.ndarray,
     good: np.ndarray,
@@ -477,8 +543,12 @@ def decode_block(
         ss[:, None] + SYNCBITS + FRAMESYMBOLS * np.arange(nframes)[None, :]
     )
     if (~ok).any():
+        sym_np = np.asarray(symbols)
+        fano_tier2_inplace(
+            data, good, decoder, ok, cycles, starts, sym_np, nframes, cfg
+        )
         viterbi_fallback_inplace(
-            data, good, decoder, ok, starts, np.asarray(symbols), nframes, cfg
+            data, good, decoder, ok, starts, sym_np, nframes, cfg
         )
 
     rec = FrameRecord(
@@ -536,11 +606,18 @@ def decode_frames_batch(
         ddata, dgood, ddec, dok, dcycles = decode_frames_device(
             jnp.asarray(symbols), jnp.asarray(sync_start, jnp.int32), nframes, cfg
         )
-        data = np.asarray(ddata)
-        good = np.asarray(dgood)
-        decoder = np.asarray(ddec)
-        decode_ok = np.asarray(dok)
-        cycles = np.asarray(dcycles)
+        # device fetches are read-only views; the fallback tiers patch
+        # these arrays in place
+        data = np.array(ddata)
+        good = np.array(dgood)
+        decoder = np.array(ddec)
+        decode_ok = np.array(dok)
+        cycles = np.array(dcycles)
+        if (~decode_ok).any():
+            fano_tier2_inplace(
+                data, good, decoder, decode_ok, cycles, starts, symbols,
+                nframes, cfg,
+            )
 
     if cfg.viterbi_enabled:
         need = ~decode_ok if device_tiers else np.ones(B * nframes, bool)

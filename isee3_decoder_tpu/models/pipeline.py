@@ -24,6 +24,7 @@ from isee3_decoder_tpu.models.decode import (
     FrameRecord,
     decode_block_device,
     decode_stream,
+    fano_tier2_inplace,
     unpack_block_buffer,
     viterbi_fallback_inplace,
 )
@@ -157,9 +158,13 @@ def receive_block(
     starts = ss[:, None] + SYNCBITS + FRAMESYMBOLS * np.arange(nframes)[None, :]
     if (~ok).any():
         soft, _, _, _ = demod_to_symbols(iq, cfg)
-        viterbi_fallback_inplace(
-            data, good, decoder, ok, starts, np.asarray(soft), nframes,
+        soft_np = np.asarray(soft)
+        fano_tier2_inplace(
+            data, good, decoder, ok, cycles, starts, soft_np, nframes,
             cfg.decode,
+        )
+        viterbi_fallback_inplace(
+            data, good, decoder, ok, starts, soft_np, nframes, cfg.decode
         )
     rec = FrameRecord(
         data=data,

@@ -136,3 +136,38 @@ def test_batch_shape_bounded_chunking():
         out = np.asarray(batch_shape_bounded(fn, x, chunk=4))
         np.testing.assert_array_equal(out, np.asarray(x) * 2)
         assert set(calls) <= {1, 2, 4}, f"B={B}: calls {calls}"
+
+
+def test_fano_two_tier_matches_single_budget():
+    """Two-tier Fano scheduling (low lockstep cap + full-budget re-run of
+    stragglers) produces the same frames/goodness as one full-budget
+    pass; a dead (pure noise) channel exercises the tier-2 path."""
+    import dataclasses
+
+    rng = np.random.default_rng(11)
+    nframes = 2
+    frames = testsignal.random_frames(rng, nframes + 1)
+    syms = testsignal.frames_to_symbols(frames)
+    key = jax.random.PRNGKey(3)
+    soft = np.asarray(simulate(key, jnp.asarray(syms), 81.65, 47.0))  # ~4.5 dB
+    noise = rng.integers(0, 256, soft.shape[0], dtype=np.uint8)
+    stream = np.stack([soft, noise])
+    ss = np.array([2048 - 34, 0], np.int64)
+
+    cfg_tier = DecodeConfig(viterbi_enabled=False, quicklook=False)
+    assert cfg_tier.fano_tier1_maxcycles is not None
+    cfg_flat = dataclasses.replace(cfg_tier, fano_tier1_maxcycles=None)
+
+    rec_t = decode_frames_batch(stream, ss, nframes, cfg_tier)
+    rec_f = decode_frames_batch(stream, ss, nframes, cfg_flat)
+    np.testing.assert_array_equal(rec_t.good, rec_f.good)
+    np.testing.assert_array_equal(
+        rec_t.data[rec_t.good], rec_f.data[rec_f.good]
+    )
+    # channel 0's frames decode, channel 1 (noise) fails in both schedules
+    good2 = rec_t.good.reshape(2, nframes)
+    assert good2[0].all() and not good2[1].any()
+    # the straggler re-ran at the full budget: its cycle count reflects
+    # the fano_maxcycles timeout, not the tier-1 cap
+    cyc2 = rec_t.fano_cycles.reshape(2, nframes)
+    assert (cyc2[1] >= cfg_tier.fano_maxcycles * 1024).all()
