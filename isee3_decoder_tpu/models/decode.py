@@ -195,7 +195,7 @@ def decode_stream(
     B, S = symbols.shape
     if state is None:
         state = DecodeStreamState(B)
-    mettab = jnp.asarray(cfg.mettab())
+    mettab = _mettab_device(cfg)
     params = cfg.fano_params()
     k = cfg.code.k
     tail = SYNCWORD & ((1 << (k - 1)) - 1)
@@ -239,8 +239,8 @@ def decode_stream(
 
         if cfg.fano_enabled:
             res = fano_decode(
-                fsyms, mettab, FRAMEBITS, SYNC_STATE, tail, cfg.code, params,
-                skip=jnp.asarray(ql_ok),
+                fsyms, mettab, FRAMEBITS, SYNC_STATE, tail, cfg.code,
+                cfg.fano_params_tier1(), skip=jnp.asarray(ql_ok),
             )
             fano_ok = ~ql_ok & (np.asarray(res.goodbits) == FRAMEBITS)
             decoder = np.where(ql_ok, decoder, DECODER_FANO).astype(np.int32)
@@ -249,6 +249,26 @@ def decode_stream(
             )
             decode_ok = ql_ok | fano_ok
             cycles = np.where(ql_ok, 0, np.asarray(res.cycles))
+            # tier 2: full-budget re-run of the lanes that timed out at
+            # the tier-1 cap (identical walk, so results match a single
+            # full-budget pass bit-for-bit — including failed lanes'
+            # partial bits and cycle counts)
+            tiered = (
+                cfg.fano_tier1_maxcycles is not None
+                and cfg.fano_tier1_maxcycles < cfg.fano_maxcycles
+            )
+            if tiered and (~decode_ok).any():
+                sub = np.nonzero(~decode_ok)[0]
+                res2 = _pow2_pad(
+                    lambda part: fano_decode(
+                        part, mettab, FRAMEBITS, SYNC_STATE, tail,
+                        cfg.code, params,
+                    ),
+                    jnp.asarray(frame_syms[sub]),
+                )
+                bits[sub] = np.asarray(res2.bits)
+                cycles[sub] = np.asarray(res2.cycles)
+                decode_ok[sub] = np.asarray(res2.goodbits) == FRAMEBITS
 
         if cfg.viterbi_enabled:
             # decode.c:209-214 fallback policy
@@ -390,8 +410,15 @@ def decode_frames_device(
 
     The host-orchestrated path costs ~6 host<->device round trips
     (~40 ms each through a tunneled runtime); this costs one small
-    fetch.  Viterbi fallback stays host-driven (dynamic subset) —
-    callers check ``ok`` and re-decode failures.
+    fetch.
+
+    CONTRACT: the Fano walk here runs at the TIER-1 cycle cap
+    (cfg.fano_tier1_maxcycles) — a lane with ``ok`` False has only
+    failed the cheap tier, not the reference's full Fano budget.
+    Callers must run fano_tier2_inplace on the failures (a no-op when
+    tiering is disabled) and then viterbi_fallback_inplace, exactly as
+    decode_frames_batch / decode_block / receive_block do — or use
+    those wrappers.
 
     Returns (data_bytes (B*nframes, FRAMEBITS//8), good, decoder, ok,
     cycles), all device arrays, lane order channel-major.
@@ -409,6 +436,10 @@ def decode_block_device(
     """Fully fused block decode: sync search + tiered frame decode packed
     into ONE uint8 result buffer so the host pays a single device fetch
     (each fetch through the tunneled runtime costs ~25-50 ms).
+
+    Same tier-1 contract as decode_frames_device: ``ok``-False lanes
+    still owe a full-budget Fano re-run (fano_tier2_inplace) before the
+    Viterbi fallback; the decode_block wrapper does both.
 
     Buffer layout for L = B*nframes lanes:
       [0, 16L)       frame bytes (L × FRAMEBITS/8)
@@ -452,6 +483,36 @@ def unpack_block_buffer(
     return data, good, decoder, ok, cycles, ss
 
 
+@functools.lru_cache(maxsize=8)
+def _mettab_device(cfg: DecodeConfig) -> jax.Array:
+    """cfg.mettab() computed once per config and kept on device (gen_met
+    integrates erf per bin on the host; recomputing and re-uploading it
+    per block is pure waste — the table depends only on the frozen cfg)."""
+    return jnp.asarray(cfg.mettab())
+
+
+def _gather_failed_lanes(
+    starts: np.ndarray, symbols: np.ndarray, sub: np.ndarray, nframes: int
+) -> np.ndarray:
+    """Frame-symbol windows for the failed-lane subset ``sub``."""
+    idx = starts.reshape(-1)[sub, None] + np.arange(FRAMESYMBOLS)[None, :]
+    return np.take_along_axis(symbols[sub // nframes], idx, axis=-1)
+
+
+def _pow2_pad(fn, x: jax.Array):
+    """Run fn on x padded (by repeating row 0) to the next power-of-two
+    batch, slicing the pad off the (pytree) result — bounds compiled
+    program variants to log2 sizes for data-dependent subset batches."""
+    B = x.shape[0]
+    p = 1 << max(B - 1, 0).bit_length()
+    if p == B:
+        return fn(x)
+    reps = jnp.broadcast_to(x[:1], (p - B, *x.shape[1:]))
+    return jax.tree_util.tree_map(
+        lambda a: a[:B], fn(jnp.concatenate([x, reps], axis=0))
+    )
+
+
 def fano_tier2_inplace(
     data: np.ndarray,
     good: np.ndarray,
@@ -467,7 +528,12 @@ def fano_tier2_inplace(
     tier-1 cap (see DecodeConfig.fano_tier1_maxcycles); patches the
     result arrays in place.  Outcomes equal a single full-budget pass —
     the walk is deterministic — but the lockstep batch never spins more
-    than tier-1 cycles waiting for stragglers."""
+    than tier-1 cycles waiting for stragglers.
+
+    The stragglers re-run as ONE lockstep batch (padded to a power of
+    two): they all need the large budget anyway, so lockstep adds
+    nothing, whereas fixed-size chunks would serialize full-budget
+    walks."""
     if (
         not cfg.fano_enabled
         or cfg.fano_tier1_maxcycles is None
@@ -477,12 +543,11 @@ def fano_tier2_inplace(
     sub = np.nonzero(~ok)[0]
     if sub.size == 0:
         return
-    idx = starts.reshape(-1)[sub, None] + np.arange(FRAMESYMBOLS)[None, :]
-    fsyms = np.take_along_axis(symbols[sub // nframes], idx, axis=-1)
+    fsyms = _gather_failed_lanes(starts, symbols, sub, nframes)
     k = cfg.code.k
     tail = SYNCWORD & ((1 << (k - 1)) - 1)
-    mettab = jnp.asarray(cfg.mettab())
-    res = batch_shape_bounded(
+    mettab = _mettab_device(cfg)
+    res = _pow2_pad(
         lambda part: fano_decode(
             part, mettab, FRAMEBITS, SYNC_STATE, tail, cfg.code,
             cfg.fano_params(),
@@ -491,11 +556,13 @@ def fano_tier2_inplace(
     )
     fano_ok = np.asarray(res.goodbits) == FRAMEBITS
     vf = np.asarray(verify_frame(res.bits))
-    bytes_all = np.asarray(bits_to_bytes(res.bits))
-    upd = sub[fano_ok]
-    data[upd] = bytes_all[fano_ok]
-    good[upd] = vf[fano_ok]
-    ok[upd] = True
+    # patch EVERY straggler from the full-budget walk — including the
+    # still-failed ones, whose partial bits/cycles must match what a
+    # single flat full-budget pass would have reported
+    data[sub] = np.asarray(bits_to_bytes(res.bits))
+    good[sub] = fano_ok & vf
+    decoder[sub] = np.where(fano_ok, DECODER_FANO, decoder[sub])
+    ok[sub] = fano_ok
     cycles[sub] = np.asarray(res.cycles)
 
 
@@ -514,8 +581,7 @@ def viterbi_fallback_inplace(
     sub = np.nonzero(~ok)[0]
     if not cfg.viterbi_enabled or sub.size == 0:
         return
-    idx = starts.reshape(-1)[sub, None] + np.arange(FRAMESYMBOLS)[None, :]
-    fsyms = np.take_along_axis(symbols[sub // nframes], idx, axis=-1)
+    fsyms = _gather_failed_lanes(starts, symbols, sub, nframes)
     vbits = _viterbi_decode(jnp.asarray(fsyms), cfg)
     data[sub] = np.asarray(bits_to_bytes(vbits))
     good[sub] = np.asarray(verify_frame(vbits))
@@ -529,7 +595,8 @@ def decode_block(
     npos: int = FRAMESYMBOLS,
 ) -> tuple[FrameRecord, np.ndarray]:
     """Host wrapper for the fused block decode: one device dispatch, one
-    fetch, then the (rare) host-driven Viterbi fallback on failed lanes.
+    fetch, then the (rare) host-driven tier-2 Fano re-run and Viterbi
+    fallback on failed lanes.
 
     Returns (FrameRecord with batch axis B*nframes, sync_start (B,)).
     """
@@ -620,18 +687,9 @@ def decode_frames_batch(
             )
 
     if cfg.viterbi_enabled:
-        need = ~decode_ok if device_tiers else np.ones(B * nframes, bool)
-        if need.any():
-            sub = np.nonzero(need)[0]
-            idx = starts.reshape(-1)[sub, None] + np.arange(FRAMESYMBOLS)[None, :]
-            fsyms = np.take_along_axis(
-                symbols[sub // nframes], idx.astype(np.int64), axis=-1
-            )
-            vbits = _viterbi_decode(jnp.asarray(fsyms), cfg)
-            data[sub] = np.asarray(bits_to_bytes(vbits))
-            good[sub] = np.asarray(verify_frame(vbits))
-            decoder[sub] = DECODER_VITERBI
-            decode_ok[sub] = True
+        viterbi_fallback_inplace(
+            data, good, decoder, decode_ok, starts, symbols, nframes, cfg
+        )
 
     return FrameRecord(
         data=data,

@@ -140,8 +140,8 @@ def receive_block(
     npos: int | None = None,
 ) -> tuple[FrameRecord, np.ndarray]:
     """Host wrapper for the fused receive chain: one dispatch + one
-    fetch; host-driven Viterbi fallback only if a lane fails the device
-    tiers (the soft symbols are then recomputed for just those lanes).
+    fetch; host-driven tier-2 Fano and Viterbi fallback only if a lane
+    fails the device tiers (the soft symbols are then recomputed).
 
     Returns (FrameRecord with batch axis B*nframes, sync_start (B,)).
     """

@@ -158,16 +158,18 @@ def test_fano_two_tier_matches_single_budget():
     assert cfg_tier.fano_tier1_maxcycles is not None
     cfg_flat = dataclasses.replace(cfg_tier, fano_tier1_maxcycles=None)
 
+    from isee3_decoder_tpu.config import FRAMEBITS
+
     rec_t = decode_frames_batch(stream, ss, nframes, cfg_tier)
     rec_f = decode_frames_batch(stream, ss, nframes, cfg_flat)
     np.testing.assert_array_equal(rec_t.good, rec_f.good)
-    np.testing.assert_array_equal(
-        rec_t.data[rec_t.good], rec_f.data[rec_f.good]
-    )
+    np.testing.assert_array_equal(rec_t.data, rec_f.data)
+    np.testing.assert_array_equal(rec_t.decoder, rec_f.decoder)
+    np.testing.assert_array_equal(rec_t.fano_cycles, rec_f.fano_cycles)
     # channel 0's frames decode, channel 1 (noise) fails in both schedules
     good2 = rec_t.good.reshape(2, nframes)
     assert good2[0].all() and not good2[1].any()
     # the straggler re-ran at the full budget: its cycle count reflects
     # the fano_maxcycles timeout, not the tier-1 cap
     cyc2 = rec_t.fano_cycles.reshape(2, nframes)
-    assert (cyc2[1] >= cfg_tier.fano_maxcycles * 1024).all()
+    assert (cyc2[1] >= cfg_tier.fano_maxcycles * FRAMEBITS).all()
