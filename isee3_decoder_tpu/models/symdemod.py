@@ -169,7 +169,7 @@ def symdemod_tracked(
                 continue
             e = energy_at(first - phase_incr, symbolsamples)
             if (e > maxenergy).all():
-                maxenergy, first = e, first + phase_incr
+                maxenergy, first = e, first - phase_incr
                 phase_incr, nochange = -phase_incr, 0
                 continue
             nochange += 1

@@ -147,6 +147,11 @@ def find_carrier(
 
     first, last = _search_window(carry.search_center, carry.cn0, cfg)
     idx = jnp.arange(n, dtype=jnp.int32)
+    # exclusive upper bound, exactly like the reference's scan
+    # `for(i=firstbin; i<lastbin; i++)` with lastbin clipped to
+    # Fftsize/2 - 1 (pmdemod.c:266-292) — including its quirk that the
+    # top window bin is never searched.  (A search_width below binsize/2
+    # makes the window empty; the reference asserts on that config.)
     mask = (idx[None, :] >= first[:, None]) & (idx[None, :] < last[:, None])
     masked = jnp.where(mask, energy, -1.0)
     # ">=" update in the reference keeps the *last* maximal bin
@@ -181,9 +186,21 @@ def spin_down(
     cn0_db).
     """
     B, n = iq.shape
-    i = jnp.arange(n, dtype=cfg.dtype)
-    cstep = (2 * np.pi / cfg.samprate) * carrier_freq
-    lo = jnp.exp(-1j * (cstep[:, None] * i[None, :])).astype(cfg.cdtype)
+    # LO phase ramp with two-level range reduction: a raw float32
+    # cstep*i reaches ~2e5 rad at the end of a 65536-sample block, where
+    # the ulp is ~0.016 rad of per-sample phase jitter (the reference's
+    # double oscillator has none).  Splitting i = 256*ihi + ilo and
+    # reducing the per-256-sample phase modulo one cycle keeps every
+    # intermediate below ~384 cycles (~3e-5-cycle ulp).
+    i = jnp.arange(n, dtype=jnp.int32)
+    ihi = (i // 256).astype(cfg.dtype)
+    ilo = (i % 256).astype(cfg.dtype)
+    c = (carrier_freq / cfg.samprate).astype(cfg.dtype)  # cycles/sample
+    c256 = jnp.mod(c * 256.0, 1.0)
+    # no outer mod: exp is periodic, and cyc stays below ~384 cycles
+    # where the float32 ulp is ~3e-5 cycles
+    cyc = c256[:, None] * ihi[None, :] + c[:, None] * ilo[None, :]
+    lo = jnp.exp((-2j * np.pi) * cyc).astype(cfg.cdtype)
     spun = iq * lo
 
     dc = spun.mean(axis=1)

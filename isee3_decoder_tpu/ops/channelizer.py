@@ -66,11 +66,13 @@ def channelize(
     # polyphase branches: h reshaped (P, M); branch r filters x[:, :, r]
     hb = h.reshape(P, nchan)
 
-    # windowed frames: y[m] = sum_p x[m+p] * hb[p]  (per branch)
+    # windowed frames: y[m] = sum_p x[m+p] * hb[p]  (per branch), as P
+    # static shifted slices — a gather of (B, nout, P, M) would copy the
+    # capture P-fold through HBM before the reduce
     nout = nframes - P + 1
-    idx = jnp.arange(nout)[:, None] + jnp.arange(P)[None, :]
-    frames = x[:, idx, :]  # (B, nout, P, M)
-    filtered = (frames * hb[None, None, :, :]).sum(axis=2)  # (B, nout, M)
+    filtered = jnp.zeros((B, nout, nchan), x.dtype)
+    for p in range(P):
+        filtered = filtered + x[:, p : p + nout, :] * hb[p][None, None, :]
 
     # Channel transform: a tone at +k*fs_out gives branch r the constant
     # phase e^{+j2πkr/M}, so the forward DFT across branches collects it

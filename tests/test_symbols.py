@@ -163,3 +163,35 @@ def test_timesearch_matches_bruteforce_energy():
             best_e, best_o = e, off
     assert int(res.symphase[0]) == best_o
     assert abs(float(res.maxenergy[0]) - best_e) < 1e-6
+
+
+def test_integrate_edges_exact_at_large_firstsample():
+    """Segment edges are nearbyint(firstsample + rel) evaluated exactly:
+    deep into a capture (firstsample ~ 2e7, where float32 spacing is 2.0)
+    the integrators must still match the float64 oracle, even with x64
+    disabled (the production/TPU mode)."""
+    import jax
+
+    rng = np.random.default_rng(0)
+    nsymbols, symbolclocks = 8, 1
+    halfclock = 122.0650634765625  # non-trivial fraction + exact ties
+    first = 20_000_037
+    need = first + int(halfclock * 2 * symbolclocks * nsymbols) + 4
+    samples = rng.integers(-30, 30, need, dtype=np.int32)
+    csum_np = np.concatenate([[0], np.cumsum(samples, dtype=np.int64)])
+
+    # float64 oracle (C's trial_demod absolute rounding, symdemod.c:217)
+    rel = sym.trial_edges(halfclock, nsymbols, symbolclocks)
+    edges = np.round(first + rel).astype(np.int64)
+    g = csum_np[edges]
+    seg = (g[1:] - g[:-1]).reshape(nsymbols, symbolclocks, 2)
+    want = (seg[..., 1] - seg[..., 0]).sum(axis=-1)
+
+    with jax.enable_x64(False):
+        csum = jnp.asarray(csum_np.astype(np.int32))[None, :]
+        got = np.asarray(
+            sym.integrate_from_csum(
+                csum, first, halfclock, nsymbols, symbolclocks
+            )
+        )[0]
+    np.testing.assert_array_equal(got, want)
