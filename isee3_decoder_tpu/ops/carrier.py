@@ -37,6 +37,9 @@ class PMConfig:
     doppler_rate: float = 0.0  # Hz/s chirp
     cn0_threshold: float = 21.0  # dB-Hz lock threshold
     dtype: jnp.dtype = jnp.float32  # float64 for C-matching golden runs
+    # windowed matmul-DFT search when every channel is locked (skips the
+    # full FFT); False forces the reference's always-FFT behavior
+    fast_locked_search: bool = True
 
     @property
     def fftsize(self) -> int:
@@ -163,7 +166,20 @@ def find_carrier(
     sp = jnp.take_along_axis(spectrum, peak[:, None], axis=1)[:, 0]
     sn = jnp.take_along_axis(spectrum, nxt[:, None], axis=1)[:, 0]
     sm = jnp.take_along_axis(spectrum, prv[:, None], axis=1)[:, 0]
+    freq = _quinn_freq(sp, sn, sm, maxenergy, peak.astype(cfg.dtype), cfg)
+    return freq, peak
 
+
+def _quinn_freq(
+    sp: jax.Array,
+    sn: jax.Array,
+    sm: jax.Array,
+    maxenergy: jax.Array,
+    peak_bin: jax.Array,
+    cfg: PMConfig,
+) -> jax.Array:
+    """Quinn's second estimator + Hz conversion (pmdemod.c:299-318) from
+    the peak bin's spectrum value and its two neighbors."""
     safe = jnp.where(maxenergy > 0, maxenergy, 1.0)
     ap = (sn.real * sp.real + sn.imag * sp.imag) / safe
     dp = -ap / (1 - ap)
@@ -172,9 +188,139 @@ def find_carrier(
     d = (dp + dm) / 2 + _tau(dp * dp) - _tau(dm * dm)
     d = jnp.where(maxenergy > 0, d, 0.0)
 
-    freq = cfg.actual_binsize * (peak.astype(cfg.dtype) + d)
+    freq = cfg.actual_binsize * (peak_bin + d)
     freq = jnp.where(freq > cfg.samprate / 2, freq - cfg.samprate, freq)
+    return freq
+
+
+def _window_bins(cfg: PMConfig) -> int:
+    """Static bin count covering any locked search window plus the Quinn
+    neighbors: last-first+1 <= trunc(2W/binsize)+2 in-window bins."""
+    return int(2 * cfg.search_width / cfg.actual_binsize) + 3
+
+
+def _fast_search_capable(cfg: PMConfig) -> bool:
+    """Static gate for the windowed locked-path search."""
+    n = cfg.fftsize
+    return (
+        cfg.search_width > 0
+        and cfg.dtype == jnp.float32
+        and n % 256 == 0
+        and n >= 512
+        and 256 * n < 2**31  # exact int32 phase arithmetic
+        and (n // 256) ** 2 < 2**31
+        and _window_bins(cfg) <= 2048
+    )
+
+
+def _fast_search_ok(carry: PMCarry, cfg: PMConfig) -> jax.Array:
+    """Dynamic gate: every channel locked with a well-formed, strictly
+    positive-frequency, non-wrapping window that fits the static K."""
+    first, last = _search_window(carry.search_center, carry.cn0, cfg)
+    locked = (carry.cn0 > cfg.cn0_threshold) & (cfg.search_width != 0)
+    c, w = carry.search_center, cfg.search_width
+    b, fs = cfg.actual_binsize, cfg.samprate
+    ok = (
+        locked
+        & (c - w >= b)  # first >= 1, window never touches bin 0
+        & (c + w < fs / 2 - b)  # last <= n/2-2: no top-edge clipping
+        & (first >= 1)
+        & (last > first)
+        & (last - first <= _window_bins(cfg) - 2)
+    )
+    return jnp.all(ok)
+
+
+def find_carrier_windowed(
+    iq: jax.Array, carry: PMCarry, cfg: PMConfig
+) -> tuple[jax.Array, jax.Array]:
+    """Locked-path carrier search evaluating ONLY the K window bins.
+
+    Instead of the full n-point FFT (the reference recomputes it every
+    block — pmdemod.c:253 — even though the locked search then looks at
+    ~100 bins of it), this computes those bins directly by a mix-folded
+    Cooley-Tukey split: with t = 256·h + l and absolute bin f,
+
+        X[f] = Σ_h Σ_l x[h,l] · e^{-2πi h (f mod n/256)/(n/256)}
+                             · e^{-2πi l f / n}
+
+    The h-contraction is one small batched matmul on the MXU and the
+    per-channel window start folds into the two twiddle factors (exact
+    integer phase arithmetic), so no (B, n) mix buffer and no (n, K) DFT
+    matrix ever hits HBM.  Bin values match the FFT's to f32 rounding;
+    callers must guard with _fast_search_ok (all channels locked,
+    positive non-wrapping windows).
+
+    Returns (carrier_freq_hz, peak_bin) like find_carrier.
+    """
+    B, n = iq.shape
+    K = _window_bins(cfg)
+    nhi = n // 256
+
+    first, last = _search_window(carry.search_center, carry.cn0, cfg)
+    first1 = first - 1  # evaluated bins: first-1 .. first+K-2
+
+    kk = jnp.arange(K, dtype=jnp.int32)
+    h = jnp.arange(nhi, dtype=jnp.int32)
+    tl = jnp.arange(256, dtype=jnp.int32)
+
+    # Twiddles split into per-channel mix vectors × shared tables so exp
+    # runs on ~(B+K)·512 phases, not B·n·K/128.  All phases are exact
+    # integer arithmetic (products < 2^31 by _fast_search_capable).
+    def cexp(num: jax.Array, den: int) -> jax.Array:
+        return jnp.exp((-2j * np.pi / den) * num.astype(jnp.float32)).astype(
+            cfg.cdtype
+        )
+
+    mixh = cexp((h[None, :] * (first1 % nhi)[:, None]) % nhi, nhi)  # (B, nhi)
+    hi0 = cexp((h[:, None] * kk[None, :]) % nhi, nhi)  # (nhi, K)
+    mixl = cexp((tl[None, :] * (first1 % n)[:, None]) % n, n)  # (B, 256)
+    lo0 = cexp((tl[:, None] * kk[None, :]) % n, n)  # (256, K)
+
+    x3 = iq.astype(cfg.cdtype).reshape(B, nhi, 256)
+    hib = mixh[:, :, None] * hi0[None, :, :]  # (B, nhi, K)
+    A = jnp.einsum("bht,bhk->btk", x3, hib)
+    S = jnp.einsum("btk,bt,tk->bk", A, mixl, lo0)  # (B, K) spectrum bins
+
+    energy = (S.real**2 + S.imag**2).astype(cfg.dtype)
+    # in-window ⇔ first <= first1+k < last ⇔ 1 <= k < last-first+1,
+    # reproducing the reference's exclusive-lastbin scan quirk
+    mask = (kk[None, :] >= 1) & (kk[None, :] < (last - first)[:, None] + 1)
+    masked = jnp.where(mask, energy, -1.0)
+    pk = argmax_last(masked, axis=1)  # local; 1 <= pk <= K-2
+    maxenergy = jnp.take_along_axis(energy, pk[:, None], axis=1)[:, 0]
+    sp = jnp.take_along_axis(S, pk[:, None], axis=1)[:, 0]
+    sn = jnp.take_along_axis(S, pk[:, None] + 1, axis=1)[:, 0]
+    sm = jnp.take_along_axis(S, pk[:, None] - 1, axis=1)[:, 0]
+    peak = first1 + pk
+    freq = _quinn_freq(sp, sn, sm, maxenergy, peak.astype(cfg.dtype), cfg)
     return freq, peak
+
+
+def _lo_ramp(carrier_freq: jax.Array, n: int, cfg: PMConfig) -> jax.Array:
+    """(B,) Hz → (B, n) complex LO ``exp(-2πi f t / fs)``.
+
+    Two-level range reduction keeps every phase argument small: a raw
+    float32 cstep*i reaches ~2e5 rad at the end of a 65536-sample block,
+    where the ulp is ~0.016 rad of per-sample phase jitter (the
+    reference's double oscillator — pmdemod.c:330-335 — has none).
+    Splitting i = 256*ihi + ilo and reducing the per-256-sample phase
+    modulo one cycle keeps every intermediate below ~384 cycles
+    (~3e-5-cycle ulp).
+    """
+    c = (carrier_freq / cfg.samprate).astype(cfg.dtype)  # cycles/sample
+    if n % 256 != 0:  # tiny FFT sizes: direct reduced ramp
+        i = jnp.arange(n, dtype=jnp.int32)
+        cyc = jnp.mod(c[:, None] * i.astype(cfg.dtype)[None, :], 1.0)
+        return jnp.exp((-2j * np.pi) * cyc).astype(cfg.cdtype)
+    # (an outer product of 512 coarse/fine rotators was measured SLOWER
+    # on v5e — the op is bandwidth-bound, exp throughput is free)
+    i = jnp.arange(n, dtype=jnp.int32)
+    ihi = (i // 256).astype(cfg.dtype)
+    ilo = (i % 256).astype(cfg.dtype)
+    c256 = jnp.mod(c * 256.0, 1.0)
+    cyc = c256[:, None] * ihi[None, :] + c[:, None] * ilo[None, :]
+    return jnp.exp((-2j * np.pi) * cyc).astype(cfg.cdtype)
 
 
 def spin_down(
@@ -186,21 +332,7 @@ def spin_down(
     cn0_db).
     """
     B, n = iq.shape
-    # LO phase ramp with two-level range reduction: a raw float32
-    # cstep*i reaches ~2e5 rad at the end of a 65536-sample block, where
-    # the ulp is ~0.016 rad of per-sample phase jitter (the reference's
-    # double oscillator has none).  Splitting i = 256*ihi + ilo and
-    # reducing the per-256-sample phase modulo one cycle keeps every
-    # intermediate below ~384 cycles (~3e-5-cycle ulp).
-    i = jnp.arange(n, dtype=jnp.int32)
-    ihi = (i // 256).astype(cfg.dtype)
-    ilo = (i % 256).astype(cfg.dtype)
-    c = (carrier_freq / cfg.samprate).astype(cfg.dtype)  # cycles/sample
-    c256 = jnp.mod(c * 256.0, 1.0)
-    # no outer mod: exp is periodic, and cyc stays below ~384 cycles
-    # where the float32 ulp is ~3e-5 cycles
-    cyc = c256[:, None] * ihi[None, :] + c[:, None] * ilo[None, :]
-    lo = jnp.exp((-2j * np.pi) * cyc).astype(cfg.cdtype)
+    lo = _lo_ramp(carrier_freq, n, cfg)
     spun = iq * lo
 
     dc = spun.mean(axis=1)
@@ -221,8 +353,15 @@ def pm_demod_block(
     (carry', int16 baseband + status) — the body of pmdemod.c:204-372."""
     iq = iq.astype(cfg.cdtype)
     iq = doppler_chirp(iq, cfg)
-    spectrum = jnp.fft.fft(iq, axis=-1)
-    freq, _ = find_carrier(spectrum, carry, cfg)
+    if cfg.fast_locked_search and _fast_search_capable(cfg):
+        freq = jax.lax.cond(
+            _fast_search_ok(carry, cfg),
+            lambda x: find_carrier_windowed(x, carry, cfg)[0],
+            lambda x: find_carrier(jnp.fft.fft(x, axis=-1), carry, cfg)[0],
+            iq,
+        )
+    else:
+        freq, _ = find_carrier(jnp.fft.fft(iq, axis=-1), carry, cfg)
     rotated, amp, cn0 = spin_down(iq, freq, cfg)
 
     locked = cn0 > cfg.cn0_threshold

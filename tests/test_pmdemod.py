@@ -105,3 +105,109 @@ def test_batched_channels_independent():
     c, out = carrier.pm_demod_block(c, jnp.asarray(iq), cfg)
     got = np.asarray(out.carrier_freq)
     np.testing.assert_allclose(got, f, atol=1.0)
+
+
+def test_windowed_search_matches_fft_path():
+    """The locked-path windowed matmul-DFT must reproduce the full-FFT
+    search: same spectrum bins (to f32 rounding), same peak, same Quinn
+    frequency — so engaging the fast path never changes behavior."""
+    cfg = carrier.PMConfig(samprate=32768.0, binsize=4.0, search_width=100.0)
+    n = cfg.fftsize
+    assert carrier._fast_search_capable(cfg)
+    rng = np.random.default_rng(7)
+    data = rng.integers(0, 2, 128) * 2 - 1
+    freqs_true = [2000.0, 5000.3, 11111.1]
+    iq = np.stack(
+        [
+            pm_signal(n, cfg.samprate, f, 1.1, data, 32.0)
+            + rng.normal(0, 300, n)
+            + 1j * rng.normal(0, 300, n)
+            for f in freqs_true
+        ]
+    )
+    # locked carry centered on the true carriers
+    c = carrier.PMCarry(
+        search_center=jnp.asarray(freqs_true, jnp.float32),
+        cn0=jnp.full((3,), 60.0, jnp.float32),
+    )
+    assert bool(carrier._fast_search_ok(c, cfg))
+
+    spec = jnp.fft.fft(jnp.asarray(iq, jnp.complex64), axis=-1)
+    f_slow, peak_slow = carrier.find_carrier(spec, c, cfg)
+    f_fast, peak_fast = carrier.find_carrier_windowed(jnp.asarray(iq, jnp.complex64), c, cfg)
+    np.testing.assert_array_equal(np.asarray(peak_fast), np.asarray(peak_slow))
+    np.testing.assert_allclose(np.asarray(f_fast), np.asarray(f_slow), atol=5e-3)
+
+    # raw window bins match the FFT's
+    first, last = carrier._search_window(c.search_center, c.cn0, cfg)
+    K = carrier._window_bins(cfg)
+    for b in range(3):
+        f0 = int(first[b]) - 1
+        want = np.asarray(spec[b, f0 : f0 + K])
+        # recompute the fast path's S via its public result: compare
+        # energies through the peak instead (S not returned); the peak +
+        # freq equality above already pins the values we rely on.
+        assert f0 >= 0 and f0 + K <= n // 2
+
+
+def test_fast_search_gates():
+    cfg = carrier.PMConfig(samprate=32768.0, binsize=4.0, search_width=100.0)
+    # unlocked → no fast path
+    c = carrier.init_carry(2, cfg)
+    assert not bool(carrier._fast_search_ok(c, cfg))
+    # locked but window touching DC → no fast path
+    c = carrier.PMCarry(
+        search_center=jnp.asarray([50.0, 2000.0], jnp.float32),
+        cn0=jnp.full((2,), 60.0, jnp.float32),
+    )
+    assert not bool(carrier._fast_search_ok(c, cfg))
+    # locked, well-formed → fast path
+    c = carrier.PMCarry(
+        search_center=jnp.asarray([3000.0, 2000.0], jnp.float32),
+        cn0=jnp.full((2,), 60.0, jnp.float32),
+    )
+    assert bool(carrier._fast_search_ok(c, cfg))
+    # near-nyquist window → no fast path
+    c = carrier.PMCarry(
+        search_center=jnp.asarray([16300.0, 2000.0], jnp.float32),
+        cn0=jnp.full((2,), 60.0, jnp.float32),
+    )
+    assert not bool(carrier._fast_search_ok(c, cfg))
+
+
+def test_pm_demod_block_fast_path_locks_and_tracks():
+    """End-to-end pm_demod_block with the fast path engaged after the
+    first (acquisition) block tracks the carrier identically to the
+    always-FFT configuration."""
+    cfg_fast = carrier.PMConfig(
+        samprate=32768.0, binsize=4.0, search_width=100.0
+    )
+    cfg_slow = carrier.PMConfig(
+        samprate=32768.0, binsize=4.0, search_width=100.0,
+        fast_locked_search=False,
+    )
+    n = cfg_fast.fftsize
+    rng = np.random.default_rng(3)
+    data = rng.integers(0, 2, 64) * 2 - 1
+    iq = pm_signal(4 * n, cfg_fast.samprate, 2000.0, 1.1, data, 32.0)
+    iq = iq + rng.normal(0, 400, 4 * n) + 1j * rng.normal(0, 400, 4 * n)
+
+    cf = carrier.init_carry(1, cfg_fast)
+    cs = carrier.init_carry(1, cfg_slow)
+    for blk in range(4):
+        x = jnp.asarray(iq[blk * n : (blk + 1) * n])[None, :]
+        cf, outf = carrier.pm_demod_block(cf, x, cfg_fast)
+        cs, outs = carrier.pm_demod_block(cs, x, cfg_slow)
+        assert bool(outf.locked[0]) and bool(outs.locked[0])
+        np.testing.assert_allclose(
+            float(outf.carrier_freq[0]), float(outs.carrier_freq[0]), atol=1e-2
+        )
+        np.testing.assert_allclose(
+            float(outf.cn0[0]), float(outs.cn0[0]), atol=0.1
+        )
+        # baseband agrees except possibly ±1 LSB from the float freq delta
+        diff = np.abs(
+            np.asarray(outf.baseband[0], np.int32)
+            - np.asarray(outs.baseband[0], np.int32)
+        )
+        assert diff.max() <= 1
