@@ -90,19 +90,27 @@ def main() -> None:
         )
 
     @jax.jit
+    def to_raw(iq):
+        # int16 interleaved I,Q — the reference's recording format
+        # (pmdemod.c:206-230); the chain ingests this directly (half the
+        # HBM bytes of complex64).
+        ri = jnp.stack([iq.real, iq.imag], axis=-1).reshape(iq.shape[0], -1)
+        return jnp.trunc(jnp.clip(ri, -32767.0, 32767.0)).astype(jnp.int16)
+
+    @jax.jit
     def demod_sum(iq):
         soft, bb, freq, cn0 = demod_to_symbols(iq, cfg)
         return soft, soft.sum(dtype=jnp.int32), cn0[-1].min()
 
     # Warmup / compile
-    iq = synth(frames_dev, key)
+    iq = to_raw(synth(frames_dev, key))
     soft, chk, cn0_min = demod_sum(iq)
     float(chk)
 
     # Time synth alone (scalar readback sync)
     t0 = time.perf_counter()
-    iq = synth(frames_dev, key)
-    _ = float(jnp.real(iq[0, 0]) + jnp.real(iq[-1, -1]))
+    iq = to_raw(synth(frames_dev, key))
+    _ = float(iq[0, 0] + iq[-1, -1])
     t_synth = time.perf_counter() - t0
 
     # Time demod directly on the device-resident IQ (scalar readback is

@@ -55,18 +55,27 @@ class PipelineResult(NamedTuple):
 def demod_to_symbols(
     iq: jax.Array, cfg: PipelineConfig
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
-    """Jitted device path: (B, L) complex IQ → (B, S) soft symbols.
+    """Jitted device path: (B, L) complex IQ — or (B, 2L) raw int16
+    interleaved I,Q pairs, the reference's recording format
+    (pmdemod.c:206-230) — → (B, S) soft symbols.
 
     Carves the stream into FFT blocks for pmdemod and 1-second windows
     for symdemod; trailing partial blocks are dropped exactly as the
     reference's fread loops do (pmdemod.c:210-215, symdemod.c:124-125).
+    Raw int16 input reads half the HBM bytes of complex64.
     """
     if iq.ndim == 1:
         iq = iq[None, :]
-    B, L = iq.shape
+    B = iq.shape[0]
     n = cfg.pm.fftsize
-    nblocks = L // n
-    blocks = iq[:, : nblocks * n].reshape(B, nblocks, n)
+    if jnp.issubdtype(iq.dtype, jnp.complexfloating):
+        L = iq.shape[1]
+        nblocks = L // n
+        blocks = iq[:, : nblocks * n].reshape(B, nblocks, n)
+    else:  # interleaved int16 I,Q — one block is 2n values
+        L = iq.shape[1] // 2
+        nblocks = L // n
+        blocks = iq[:, : nblocks * 2 * n].reshape(B, nblocks, 2 * n)
 
     carry = init_carry(B, cfg.pm)
     carry, pm_out = pm_demod_scan(carry, blocks, cfg.pm)

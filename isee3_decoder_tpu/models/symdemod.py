@@ -61,10 +61,10 @@ def symdemod_scan(
         firstsample0 = initial_firstsample(cfg)
     first = jnp.broadcast_to(jnp.asarray(firstsample0, jnp.int32), (B,))
 
-    csum = sym_ops.prefix_sum(samples)
-    # The framed timesearch reads a whole-stride span slightly past the
-    # last edge; edge-pad so the final window never clamps its slice
-    # (padded segments difference to zero, matching gather clamping).
+    # The grouped timesearch reads a whole-stride span slightly past the
+    # last edge; zero-pad the *samples* into the prefix sum (identical to
+    # edge-padding csum, but fused into the cumsum pass) so the final
+    # window never clamps its slice.
     span = sym_ops.timesearch_csum_span(
         cfg.halfclock, nsym, cfg.symbolclocks, cfg.noffsets
     )
@@ -72,7 +72,7 @@ def symdemod_scan(
         sym_ops.search_edges(cfg.halfclock, nsym, cfg.symbolclocks)[-1]
     ) + cfg.noffsets
     pad = max(span - legacy, 0) + 8
-    csum = jnp.pad(csum, ((0, 0), (0, pad)), mode="edge")
+    csum = sym_ops.prefix_sum(samples, pad_to=samples.shape[1] + pad)
     ffloat = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
     def window_step(first, _):
@@ -124,9 +124,14 @@ def symdemod_tracked(
     B = samples.shape[0]
     symbolsamples = cfg.symbolsamples
     first = np.full((B,), initial_firstsample(cfg), np.int64)
-    csum = sym_ops.prefix_sum(samples)
-    # slack for the framed timesearch span (see symdemod_scan)
-    csum = jnp.pad(csum, ((0, 0), (0, 16 * int(cfg.symbolsamples) + 64)), mode="edge")
+    # slack for the grouped timesearch span (see symdemod_scan)
+    csum = sym_ops.prefix_sum(
+        samples,
+        pad_to=samples.shape[1]
+        + 16 * int(cfg.symbolsamples)
+        + sym_ops.TRACK_DELTA
+        + 576,
+    )
 
     def energy_at(first, symsamp):
         nsym = int(cfg.window * cfg.samprate / symsamp)

@@ -407,14 +407,27 @@ def pm_demod_block(
     return PMCarry(search_center=new_center, cn0=cn0.astype(cfg.dtype)), out
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "flip"))
 def pm_demod_scan(
-    carry: PMCarry, iq_blocks: jax.Array, cfg: PMConfig = PMConfig()
+    carry: PMCarry,
+    iq_blocks: jax.Array,
+    cfg: PMConfig = PMConfig(),
+    flip: bool = False,
 ) -> tuple[PMCarry, PMBlockOut]:
-    """Scan pm_demod_block over the time axis: (B, T, fftsize) → outputs
-    stacked over T.  This is the streaming outer loop of pmdemod.c:204."""
+    """Scan pm_demod_block over the time axis: (B, T, fftsize) complex —
+    or (B, T, 2·fftsize) int16 interleaved I,Q exactly as recorded on
+    disk (pmdemod.c:206-230) — → outputs stacked over T.  This is the
+    streaming outer loop of pmdemod.c:204.
+
+    Feeding raw int16 halves the HBM read vs a pre-converted complex64
+    stream (4 bytes/sample instead of 8); the int→complex conversion
+    happens per block inside the scan, where it fuses into the first
+    consumers."""
+    raw = not jnp.issubdtype(iq_blocks.dtype, jnp.complexfloating)
 
     def step(c, blk):
+        if raw:
+            blk = iq_from_interleaved(blk, flip)
         c, out = pm_demod_block(c, blk, cfg)
         return c, out
 

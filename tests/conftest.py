@@ -16,9 +16,24 @@ if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax
+import pytest
 
 # sitecustomize imports jax at interpreter startup, which snapshots the
 # JAX_PLATFORMS=axon env var into jax.config before this file runs — so
 # update the live config too, not just the environment.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Free compiled executables between modules.
+
+    A full-suite process accumulates every module's jitted programs; the
+    XLA CPU JIT has been observed to segfault compiling the large fused
+    receive-chain program only after ~45 prior tests' compilations.
+    Dropping caches at module boundaries keeps the process footprint
+    bounded (each module recompiles its own programs anyway).
+    """
+    yield
+    jax.clear_caches()
