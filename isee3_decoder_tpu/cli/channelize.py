@@ -22,6 +22,9 @@ def main(argv=None) -> int:
     p.add_argument("-M", type=int, default=8, dest="nchan")
     p.add_argument("-r", type=float, default=2_000_000.0, dest="samprate")
     p.add_argument("-t", type=int, default=8, dest="taps_per_branch")
+    p.add_argument("-O", type=int, default=1, choices=(1, 2), dest="oversample",
+                   help="2 = 2x oversampled bank (rate 2*fs/M; recovers "
+                        "channel-edge carriers the critical bank aliases)")
     p.add_argument("-o", default="channels", dest="outdir")
     p.add_argument("-c", default=None, dest="channels",
                    help="comma-separated channel indices (default: all)")
@@ -38,9 +41,15 @@ def main(argv=None) -> int:
     iq = (raw[0::2] + 1j * raw[1::2]).astype(np.complex64)
     status(
         f"channelize: {len(iq):,} samples @ {a.samprate:,.0f} Hz -> "
-        f"{a.nchan} channels @ {a.samprate / a.nchan:,.0f} Hz"
+        f"{a.nchan} channels @ "
+        f"{a.oversample * a.samprate / a.nchan:,.0f} Hz"
     )
-    y = np.asarray(channelize(jnp.asarray(iq), a.nchan, a.taps_per_branch))[0]
+    y = np.asarray(
+        channelize(
+            jnp.asarray(iq), a.nchan, a.taps_per_branch,
+            oversample=a.oversample,
+        )
+    )[0]
     os.makedirs(a.outdir, exist_ok=True)
     sel = (
         [int(c) for c in a.channels.split(",")]
