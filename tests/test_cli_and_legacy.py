@@ -118,6 +118,46 @@ def test_ebn0_estimator():
     assert legacy.ebn0_from_symbol_errors(0, 2048) is None
 
 
+def test_cli_bitsync(tmp_path):
+    """bitsync CLI (bitsync.c): whole-file symbol sync + streaming
+    Viterbi + syncword framing over an int16 baseband recording."""
+    rng = np.random.default_rng(7)
+    from isee3_decoder_tpu.config import CodeSpec
+
+    k7 = CodeSpec("TESTK7", 0o171, 0o133, 7, 0, 0)
+    frames = testsignal.random_frames(rng, 4)
+    syms = testsignal.frames_to_symbols(frames, k7)
+    samprate, symrate = 16384.0, 1024.0
+    wave = testsignal.manchester_waveform(syms, samprate / symrate)
+    samples = (900.0 * wave + rng.normal(0, 60, len(wave))).astype(np.int16)
+    path = tmp_path / "bb.i16"
+    samples.tofile(path)
+    out = subprocess.run(
+        [
+            sys.executable, "-m", "isee3_decoder_tpu.cli.bitsync",
+            "-r", "16384", "-s", "1024.0", "-d", "100",
+            "--code", "TESTK7", str(path),
+        ],
+        capture_output=True, env=ENV, timeout=600, check=True,
+    ).stdout.decode()
+    assert "Frame 1 starting at sample" in out
+    hex_frames, cur = [], []
+    for line in out.splitlines():
+        toks = line.split()
+        if toks and all(len(t) == 2 for t in toks):
+            try:
+                cur.extend(int(t, 16) for t in toks)
+            except ValueError:
+                continue
+            if len(cur) == FRAMEBITS // 8:
+                hex_frames.append(np.array(cur, np.uint8))
+                cur = []
+    matched = sum(
+        1 for hf in hex_frames if any(np.array_equal(hf, f) for f in frames)
+    )
+    assert matched >= 1, f"{len(hex_frames)} frames framed, {matched} matched"
+
+
 @pytest.mark.skipif(os.environ.get("SKIP_CLI") == "1", reason="slow")
 def test_cli_three_stage_pipeline(tmp_path):
     """The actual ./pmdemod input | ./symdemod | ./decode contract, run as
