@@ -35,18 +35,62 @@ def _tpu_alive() -> bool:
 
 
 def main() -> None:
+    """Run the measurement in a child process so a tunnel failure mid-run
+    (RESOURCE_EXHAUSTED, hang, poisoned backend) can be retried cleanly —
+    the axon backend cannot be re-initialized inside a wedged process."""
+    import subprocess
+    import sys
+
+    if os.environ.get("BENCH_INNER", "") == "1" or os.environ.get("BENCH_CPU", "") == "1":
+        return _measure()
+
+    deadline = time.time() + float(os.environ.get("BENCH_TPU_WAIT", "1800"))
+    attempt = 0
+    while True:
+        attempt += 1
+        last_try = time.time() >= deadline
+        env = dict(os.environ, BENCH_INNER="1")
+        timeout = float(os.environ.get("BENCH_ATTEMPT_TIMEOUT", "1500"))
+        if last_try:
+            env["BENCH_CPU"] = "1"  # final fallback: record a CPU number
+            timeout = None  # CPU compiles are slow but always finish
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                stdout=subprocess.PIPE,
+                timeout=timeout,
+            )
+            out = proc.stdout.decode()
+            line = next(
+                (l for l in out.splitlines() if l.startswith("{")), None
+            )
+            if proc.returncode == 0 and line:
+                print(line)
+                return
+            sys.stderr.write(
+                f"bench attempt {attempt} failed (rc={proc.returncode})\n"
+            )
+        except subprocess.TimeoutExpired:
+            sys.stderr.write(f"bench attempt {attempt} timed out\n")
+        if last_try:
+            raise SystemExit(1)
+        time.sleep(60)  # wedged tunnels recover in ~10-30 min
+
+
+def _measure() -> None:
     import jax
 
     if os.environ.get("BENCH_CPU", "") == "1":
         jax.config.update("jax_platforms", "cpu")
     else:
-        deadline = time.time() + float(os.environ.get("BENCH_TPU_WAIT", "300"))
+        deadline = time.time() + 300.0
         while time.time() < deadline:
             if _tpu_alive():
                 break
             time.sleep(20)
         else:
-            jax.config.update("jax_platforms", "cpu")
+            raise SystemExit(2)  # no TPU yet; outer loop retries
 
     import jax.numpy as jnp
 
