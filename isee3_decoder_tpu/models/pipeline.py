@@ -31,6 +31,7 @@ from isee3_decoder_tpu.models.decode import (
 from isee3_decoder_tpu.models.symdemod import (
     initial_firstsample,
     symdemod_scan,
+    symdemod_scan_csum,
     window_samples,
 )
 from isee3_decoder_tpu.ops.carrier import PMConfig, init_carry, pm_demod_scan
@@ -42,6 +43,12 @@ class PipelineConfig:
     pm: PMConfig = PMConfig()
     sym: SymConfig = SymConfig()
     decode: DecodeConfig = DecodeConfig()
+    #: prefix-sum producer for symdemod: "auto" picks the one-pass Pallas
+    #: kernel (transpose + int16→int32 cumsum fused, ops/prefix_pallas.py)
+    #: on TPU when shapes and slack allow, else the jnp path; "jnp"
+    #: forces the classic path; "pallas_interpret" forces the kernel in
+    #: interpreter mode (CPU equivalence tests).
+    csum_backend: str = "auto"
 
 
 class PipelineResult(NamedTuple):
@@ -82,11 +89,50 @@ def demod_to_symbols(
     baseband = jnp.swapaxes(pm_out.baseband, 0, 1).reshape(B, nblocks * n)
 
     wlen = window_samples(cfg.sym)
+    first0 = initial_firstsample(cfg.sym)
     # one window of slack for the ± timing search and drift
-    nwindows = max((nblocks * n - initial_firstsample(cfg.sym)) // wlen - 1, 0)
-    _, sym_out = symdemod_scan(baseband, cfg.sym, nwindows)
+    nwindows = max((nblocks * n - first0) // wlen - 1, 0)
+    if _fused_csum_ok(cfg, B, n, nblocks, nwindows):
+        # ONE HBM pass replaces transpose + separate cumsum: the scan-
+        # layout int16 baseband streams straight into the exclusive int32
+        # prefix sum (baseband above is then dead code unless the caller
+        # consumes it, and XLA removes it).
+        from isee3_decoder_tpu.ops import prefix_pallas
+
+        csum = prefix_pallas.prefix_sum_blocks(
+            pm_out.baseband,
+            interpret=cfg.csum_backend == "pallas_interpret"
+            or jax.default_backend() != "tpu",
+        )
+        _, sym_out = symdemod_scan_csum(csum, cfg.sym, nwindows)
+    else:
+        _, sym_out = symdemod_scan(baseband, cfg.sym, nwindows)
     soft = jnp.swapaxes(sym_out.soft, 0, 1).reshape(B, -1)
     return soft, baseband, pm_out.carrier_freq, pm_out.cn0
+
+
+def _fused_csum_ok(
+    cfg: PipelineConfig, B: int, n: int, nblocks: int, nwindows: int
+) -> bool:
+    """Static gate for the one-pass Pallas csum: shapes the kernel tiles,
+    and enough trailing slack that the last window's grouped timesearch
+    span plus the full per-channel drift headroom stays inside the
+    unpadded (B, L) csum (the jnp path edge-pads instead)."""
+    if cfg.csum_backend == "jnp" or nwindows < 1:
+        return False
+    if cfg.csum_backend == "auto" and jax.default_backend() != "tpu":
+        return False
+    from isee3_decoder_tpu.ops import prefix_pallas
+    from isee3_decoder_tpu.ops import symbols as sym_ops
+
+    if not prefix_pallas.supports(B, n):
+        return False
+    sym = cfg.sym
+    span = sym_ops.timesearch_csum_span(
+        sym.halfclock, sym.nsymbols, sym.symbolclocks, sym.noffsets
+    )
+    last_first = initial_firstsample(sym) + (nwindows - 1) * window_samples(sym)
+    return last_first + sym_ops.TRACK_DELTA + span + 8 <= nblocks * n
 
 
 def run_wideband(

@@ -55,11 +55,7 @@ def symdemod_scan(
     """
     if samples.ndim == 1:
         samples = samples[None, :]
-    B = samples.shape[0]
     nsym = cfg.nsymbols
-    if firstsample0 is None:
-        firstsample0 = initial_firstsample(cfg)
-    first = jnp.broadcast_to(jnp.asarray(firstsample0, jnp.int32), (B,))
 
     # The grouped timesearch reads a whole-stride span slightly past the
     # last edge; zero-pad the *samples* into the prefix sum (identical to
@@ -73,6 +69,26 @@ def symdemod_scan(
     ) + cfg.noffsets
     pad = max(span - legacy, 0) + 8
     csum = sym_ops.prefix_sum(samples, pad_to=samples.shape[1] + pad)
+    return symdemod_scan_csum(csum, cfg, nwindows, firstsample0)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "nwindows"))
+def symdemod_scan_csum(
+    csum: jax.Array,
+    cfg: SymConfig,
+    nwindows: int,
+    firstsample0: jax.Array | int | None = None,
+) -> tuple[jax.Array, SymWindowOut]:
+    """symdemod_scan against a precomputed (B, >=L) int32 exclusive
+    prefix sum of the baseband (e.g. the one-pass Pallas kernel,
+    ops/prefix_pallas.py).  The caller must guarantee every edge the last
+    window reads lies strictly inside csum (see
+    models/pipeline.demod_to_symbols for the static slack check)."""
+    B = csum.shape[0]
+    nsym = cfg.nsymbols
+    if firstsample0 is None:
+        firstsample0 = initial_firstsample(cfg)
+    first = jnp.broadcast_to(jnp.asarray(firstsample0, jnp.int32), (B,))
     ffloat = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
     def window_step(first, _):
