@@ -40,6 +40,11 @@ class PMConfig:
     # windowed matmul-DFT search when every channel is locked (skips the
     # full FFT); False forces the reference's always-FFT behavior
     fast_locked_search: bool = True
+    #: locked-path search engine for raw int16 blocks: "auto" picks the
+    #: Pallas raw-ingestion DFT kernel (ops/carrier_pallas.py) on TPU
+    #: when shapes allow, else the XLA einsum; "xla" forces the einsum;
+    #: "pallas_interpret" forces the kernel in interpreter mode (tests).
+    search_backend: str = "auto"
 
     @property
     def fftsize(self) -> int:
@@ -281,7 +286,20 @@ def find_carrier_windowed(
     hib = mixh[:, :, None] * hi0[None, :, :]  # (B, nhi, K)
     A = jnp.einsum("bht,bhk->btk", x3, hib)
     S = jnp.einsum("btk,bt,tk->bk", A, mixl, lo0)  # (B, K) spectrum bins
+    return _windowed_peak_from_s(S, first, last, first1, cfg)
 
+
+def _windowed_peak_from_s(
+    S: jax.Array,
+    first: jax.Array,
+    last: jax.Array,
+    first1: jax.Array,
+    cfg: PMConfig,
+) -> tuple[jax.Array, jax.Array]:
+    """Masked peak search + Quinn interpolation over window spectrum bins
+    S[b, k] = X[first1_b + k] (pmdemod.c:257-318).  Extra bins past the
+    window (lane padding) are masked out."""
+    kk = jnp.arange(S.shape[1], dtype=jnp.int32)
     energy = (S.real**2 + S.imag**2).astype(cfg.dtype)
     # in-window ⇔ first <= first1+k < last ⇔ 1 <= k < last-first+1,
     # reproducing the reference's exclusive-lastbin scan quirk
@@ -295,6 +313,30 @@ def find_carrier_windowed(
     peak = first1 + pk
     freq = _quinn_freq(sp, sn, sm, maxenergy, peak.astype(cfg.dtype), cfg)
     return freq, peak
+
+
+def find_carrier_windowed_raw(
+    packed: jax.Array,
+    carry: PMCarry,
+    cfg: PMConfig,
+    flip: bool = False,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """find_carrier_windowed evaluated by the Pallas raw-ingestion DFT
+    kernel (ops/carrier_pallas.py): identical math, but the int16 IQ
+    words stream into the MXU without a complex64 round-trip through HBM.
+    Bin values agree with the einsum path to f32 accumulation order."""
+    from isee3_decoder_tpu.ops import carrier_pallas
+
+    n = packed.shape[1]
+    K = _window_bins(cfg)
+    kp = -(-K // 128) * 128
+    first, last = _search_window(carry.search_center, carry.cn0, cfg)
+    first1 = first - 1
+    S = carrier_pallas.windowed_dft_raw(
+        packed, first1, n, kp, flip=flip, interpret=interpret
+    )
+    return _windowed_peak_from_s(S, first, last, first1, cfg)
 
 
 def _lo_ramp(carrier_freq: jax.Array, n: int, cfg: PMConfig) -> jax.Array:
@@ -343,23 +385,8 @@ def spin_down(
         # fused with the LO mix.  var = E[(x·û)²] - amp² loses ~f32-eps
         # relative precision, noticeable only above ~85 dB-Hz C/N0 —
         # clamped; float64 golden runs keep the exact two-pass form.
-        sr, si = spun.real, spun.imag
-        m_r = sr.mean(axis=1)
-        m_i = si.mean(axis=1)
-        m_rr = (sr * sr).mean(axis=1)
-        m_ii = (si * si).mean(axis=1)
-        m_ri = (sr * si).mean(axis=1)
-        amp2 = m_r * m_r + m_i * m_i
-        amp = jnp.sqrt(amp2)
-        safe2 = jnp.where(amp2 > 0, amp2, 1.0)
-        e_rot2 = (m_rr * m_r * m_r + 2 * m_ri * m_r * m_i + m_ii * m_i * m_i) / safe2
-        var = jnp.maximum(e_rot2 - amp2, amp2 * 3e-7 + 1e-30)
-        dc = m_r + 1j * m_i
-        unit = jnp.where(
-            amp > 0, jnp.conj(dc) / jnp.where(amp > 0, amp, 1.0), 1.0
-        ).astype(cfg.cdtype)
+        _, amp, unit, cn0 = _moments_cn0(spun, cfg)
         rotated = spun * unit[:, None]
-        cn0 = 10 * jnp.log10(cfg.samprate * amp2 / (2 * var))
         return rotated, amp, cn0
 
     dc = spun.mean(axis=1)
@@ -370,6 +397,115 @@ def spin_down(
     var = ((rotated.real - amp[:, None]) ** 2).mean(axis=1)
     cn0 = 10 * jnp.log10(cfg.samprate * amp * amp / (2 * var))
     return rotated, amp, cn0
+
+
+def _moments_cn0(spun: jax.Array, cfg: PMConfig):
+    """One-pass five-moment C/N0 estimate (see spin_down's f32 branch)
+    → (dc, amp, unit, cn0)."""
+    sr, si = spun.real, spun.imag
+    m_r = sr.mean(axis=1)
+    m_i = si.mean(axis=1)
+    m_rr = (sr * sr).mean(axis=1)
+    m_ii = (si * si).mean(axis=1)
+    m_ri = (sr * si).mean(axis=1)
+    amp2 = m_r * m_r + m_i * m_i
+    amp = jnp.sqrt(amp2)
+    safe2 = jnp.where(amp2 > 0, amp2, 1.0)
+    e_rot2 = (m_rr * m_r * m_r + 2 * m_ri * m_r * m_i + m_ii * m_i * m_i) / safe2
+    var = jnp.maximum(e_rot2 - amp2, amp2 * 3e-7 + 1e-30)
+    dc = m_r + 1j * m_i
+    unit = jnp.where(
+        amp > 0, jnp.conj(dc) / jnp.where(amp > 0, amp, 1.0), 1.0
+    ).astype(cfg.cdtype)
+    cn0 = 10 * jnp.log10(cfg.samprate * amp2 / (2 * var))
+    return dc, amp, unit, cn0
+
+
+def spin_down_raw(
+    raw: jax.Array, carrier_freq: jax.Array, cfg: PMConfig, flip: bool = False
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """spin_down + int16 emission with the complex IQ never stored:
+    (B, 2n) raw int16 → (baseband int16, carrier amp, cn0_db).
+
+    Two fused streams over the raw words: (1) mix + five-moment C/N0
+    reduction; (2) mix + rotate + emit.  An optimization barrier keeps
+    XLA from CSE-ing the int16→complex conversion into one materialized
+    complex64 buffer (which would cost 8 bytes/sample of HBM round-trip
+    — the whole point of this path is to avoid that).  Math and output
+    are bit-identical to spin_down's f32 branch: same expressions in the
+    same order, only the (elementwise) producers are re-evaluated.
+    Requires cfg.dtype == float32.
+    """
+    n = raw.shape[-1] // 2
+    iq1 = iq_from_interleaved(raw, flip)
+    lo1 = _lo_ramp(carrier_freq, n, cfg)
+    _, amp, unit, cn0 = _moments_cn0(iq1 * lo1, cfg)
+
+    raw2 = jax.lax.optimization_barrier(raw)
+    freq2 = jax.lax.optimization_barrier(carrier_freq)
+    iq2 = iq_from_interleaved(raw2, flip)
+    lo2 = _lo_ramp(freq2, n, cfg)
+    rotated = (iq2 * lo2) * unit[:, None]
+    scaled = rotated.imag * np.sqrt(0.5)
+    baseband = jnp.trunc(scaled).astype(jnp.int16)
+    return baseband, amp, cn0
+
+
+def _raw_fast_capable(cfg: PMConfig, B: int, n: int) -> bool:
+    """Static gate for the raw-ingestion fast block step."""
+    from isee3_decoder_tpu.ops import carrier_pallas
+
+    if cfg.search_backend == "xla" or not cfg.fast_locked_search:
+        return False
+    if cfg.search_backend == "auto" and jax.default_backend() != "tpu":
+        return False
+    return (
+        cfg.doppler_rate == 0.0
+        and cfg.dtype == jnp.float32
+        and _fast_search_capable(cfg)
+        and carrier_pallas.supports(B, n)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "flip"))
+def pm_demod_block_raw(
+    carry: PMCarry,
+    raw: jax.Array,
+    cfg: PMConfig = PMConfig(),
+    flip: bool = False,
+) -> tuple[PMCarry, PMBlockOut]:
+    """pm_demod_block over a (B, 2·fftsize) raw int16 block with the
+    complex IQ kept out of HBM: Pallas raw DFT search on the locked path
+    + fused two-stream spin-down (spin_down_raw).  Callers must pass the
+    _raw_fast_capable gate; the unlocked fallback inside still runs the
+    full FFT on a converted block (rare)."""
+    from isee3_decoder_tpu.ops import carrier_pallas
+
+    interpret = (
+        cfg.search_backend == "pallas_interpret"
+        or jax.default_backend() != "tpu"
+    )
+    freq = jax.lax.cond(
+        _fast_search_ok(carry, cfg),
+        lambda r: find_carrier_windowed_raw(
+            carrier_pallas.pack_raw(r), carry, cfg, flip, interpret
+        )[0],
+        lambda r: find_carrier(
+            jnp.fft.fft(iq_from_interleaved(r, flip), axis=-1), carry, cfg
+        )[0],
+        raw,
+    )
+    baseband, amp, cn0 = spin_down_raw(raw, freq, cfg, flip)
+
+    locked = cn0 > cfg.cn0_threshold
+    new_center = jnp.where(locked, freq.astype(cfg.dtype), carry.search_center)
+    out = PMBlockOut(
+        baseband=baseband,
+        carrier_freq=freq.astype(cfg.dtype),
+        cn0=cn0.astype(cfg.dtype),
+        locked=locked,
+    )
+    return PMCarry(search_center=new_center, cn0=cn0.astype(cfg.dtype)), out
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -422,10 +558,18 @@ def pm_demod_scan(
     Feeding raw int16 halves the HBM read vs a pre-converted complex64
     stream (4 bytes/sample instead of 8); the int→complex conversion
     happens per block inside the scan, where it fuses into the first
-    consumers."""
+    consumers.  When the raw fast path applies (_raw_fast_capable), the
+    complex IQ never exists in HBM at all: the Pallas DFT kernel searches
+    the packed words and the spin-down/emission streams fuse their own
+    conversions (pm_demod_block_raw)."""
     raw = not jnp.issubdtype(iq_blocks.dtype, jnp.complexfloating)
+    B = iq_blocks.shape[0]
+    n = iq_blocks.shape[-1] // 2
+    raw_fast = raw and _raw_fast_capable(cfg, B, n)
 
     def step(c, blk):
+        if raw_fast:
+            return pm_demod_block_raw(c, blk, cfg, flip)
         if raw:
             blk = iq_from_interleaved(blk, flip)
         c, out = pm_demod_block(c, blk, cfg)

@@ -1,0 +1,138 @@
+"""Raw-ingestion pm fast path: Pallas DFT search + fused spin-down."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from isee3_decoder_tpu.ops import carrier
+from isee3_decoder_tpu.ops.carrier_pallas import pack_raw
+from tests.test_pmdemod import pm_signal
+
+
+def _raw_int16(iq: np.ndarray) -> np.ndarray:
+    ri = np.stack([iq.real, iq.imag], axis=-1).reshape(iq.shape[0], -1)
+    return np.trunc(np.clip(ri, -32767, 32767)).astype(np.int16)
+
+
+def _setup(cfg, nch=8):
+    rng = np.random.default_rng(9)
+    data = rng.integers(0, 2, 128) * 2 - 1
+    freqs = 2000.0 + 137.0 * np.arange(nch)
+    n = cfg.fftsize
+    iq = np.stack(
+        [
+            pm_signal(n, cfg.samprate, f, 1.1, data, 32.0, amp=12000)
+            + rng.normal(0, 300, n)
+            + 1j * rng.normal(0, 300, n)
+            for f in freqs
+        ]
+    )
+    raw = _raw_int16(iq)
+    iq_q = raw.astype(np.float32).reshape(nch, n, 2)
+    iq_c = (iq_q[..., 0] + 1j * iq_q[..., 1]).astype(np.complex64)
+    carry = carrier.PMCarry(
+        search_center=jnp.asarray(freqs, jnp.float32),
+        cn0=jnp.full((nch,), 60.0, jnp.float32),
+    )
+    return raw, iq_c, carry, freqs
+
+
+def test_windowed_dft_raw_matches_einsum():
+    """The Pallas raw-ingestion search agrees with the XLA einsum path:
+    same peak bins, Quinn frequency to f32 matmul-order tolerance."""
+    cfg = carrier.PMConfig(samprate=32768.0, binsize=4.0, search_width=100.0)
+    raw, iq_c, carry, freqs = _setup(cfg)
+    f_x, pk_x = carrier.find_carrier_windowed(jnp.asarray(iq_c), carry, cfg)
+    f_p, pk_p = carrier.find_carrier_windowed_raw(
+        pack_raw(jnp.asarray(raw)), carry, cfg, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(pk_p), np.asarray(pk_x))
+    np.testing.assert_allclose(np.asarray(f_p), np.asarray(f_x), atol=5e-3)
+
+
+def test_spin_down_raw_bit_identical():
+    """Given the same carrier frequency, the fused two-stream raw
+    spin-down emits bit-identical baseband/amp/cn0 to spin_down."""
+    cfg = carrier.PMConfig(samprate=32768.0, binsize=4.0, search_width=100.0)
+    raw, iq_c, carry, freqs = _setup(cfg)
+    f = jnp.asarray(freqs, jnp.float32) + 0.125
+    rot, amp, cn0 = carrier.spin_down(jnp.asarray(iq_c), f, cfg)
+    bb_ref = jnp.trunc(rot.imag * np.sqrt(0.5)).astype(jnp.int16)
+    bb, amp2, cn02 = carrier.spin_down_raw(jnp.asarray(raw), f, cfg)
+    np.testing.assert_array_equal(np.asarray(bb), np.asarray(bb_ref))
+    np.testing.assert_array_equal(np.asarray(amp2), np.asarray(amp))
+    np.testing.assert_array_equal(np.asarray(cn02), np.asarray(cn0))
+
+
+def test_pm_demod_block_raw_matches_block():
+    """Full raw block step ≈ classic block step on the converted block:
+    identical lock decisions, frequencies to matmul-order tolerance,
+    baseband within 1 LSB (freq ulp differences move trunc boundaries)."""
+    cfg = carrier.PMConfig(
+        samprate=32768.0,
+        binsize=4.0,
+        search_width=100.0,
+        search_backend="pallas_interpret",
+    )
+    raw, iq_c, carry, freqs = _setup(cfg)
+    c_ref, out_ref = carrier.pm_demod_block(carry, jnp.asarray(iq_c), cfg)
+    c_raw, out_raw = carrier.pm_demod_block_raw(carry, jnp.asarray(raw), cfg)
+    np.testing.assert_array_equal(
+        np.asarray(out_raw.locked), np.asarray(out_ref.locked)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_raw.carrier_freq),
+        np.asarray(out_ref.carrier_freq),
+        atol=5e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_raw.cn0), np.asarray(out_ref.cn0), atol=1e-2
+    )
+    diff = np.abs(
+        np.asarray(out_raw.baseband, np.int32)
+        - np.asarray(out_ref.baseband, np.int32)
+    )
+    assert diff.max() <= 1, diff.max()
+
+
+def test_pm_demod_scan_raw_fast_end_to_end():
+    """pm_demod_scan with the raw fast path decodes the same data axis as
+    the classic path over multiple blocks (lock carry across blocks)."""
+    cfg = carrier.PMConfig(
+        samprate=32768.0,
+        binsize=4.0,
+        search_width=100.0,
+        search_backend="pallas_interpret",
+    )
+    n = cfg.fftsize
+    nch, T = 8, 3
+    rng = np.random.default_rng(11)
+    data = rng.integers(0, 2, 256) * 2 - 1
+    freqs = 2000.0 + 137.0 * np.arange(nch)
+    iq = np.stack(
+        [
+            pm_signal(T * n, cfg.samprate, f, 1.1, data, 32.0, amp=12000)
+            + rng.normal(0, 300, T * n)
+            + 1j * rng.normal(0, 300, T * n)
+            for f in freqs
+        ]
+    )
+    raw = _raw_int16(iq)  # (nch, 2*T*n)
+    raw_blocks = raw.reshape(nch, T, 2 * n)
+    assert carrier._raw_fast_capable(cfg, nch, n)
+    carry = carrier.init_carry(nch, cfg)
+    c1, out1 = carrier.pm_demod_scan(carry, jnp.asarray(raw_blocks), cfg)
+
+    cfg_x = carrier.PMConfig(
+        samprate=32768.0, binsize=4.0, search_width=100.0, search_backend="xla"
+    )
+    c2, out2 = carrier.pm_demod_scan(carry, jnp.asarray(raw_blocks), cfg_x)
+    np.testing.assert_array_equal(
+        np.asarray(out1.locked), np.asarray(out2.locked)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out1.carrier_freq), np.asarray(out2.carrier_freq), atol=5e-3
+    )
+    diff = np.abs(
+        np.asarray(out1.baseband, np.int32) - np.asarray(out2.baseband, np.int32)
+    )
+    assert diff.max() <= 1, diff.max()
