@@ -475,27 +475,62 @@ def pm_demod_block_raw(
     flip: bool = False,
 ) -> tuple[PMCarry, PMBlockOut]:
     """pm_demod_block over a (B, 2·fftsize) raw int16 block with the
-    complex IQ kept out of HBM: Pallas raw DFT search on the locked path
-    + fused two-stream spin-down (spin_down_raw).  Callers must pass the
-    _raw_fast_capable gate; the unlocked fallback inside still runs the
-    full FFT on a converted block (rare)."""
+    complex IQ kept out of HBM.  Locked path: ONE Pallas kernel does the
+    windowed DFT search, peak + Quinn, spin-down, and int16 emission from
+    a single HBM read of the raw words (pm_locked_fused).  Unlocked path
+    (rare): full FFT search on a converted block + one-read fused
+    spin-down.  Callers must pass the _raw_fast_capable gate."""
     from isee3_decoder_tpu.ops import carrier_pallas
 
     interpret = (
         cfg.search_backend == "pallas_interpret"
         or jax.default_backend() != "tpu"
     )
-    freq = jax.lax.cond(
-        _fast_search_ok(carry, cfg),
-        lambda r: find_carrier_windowed_raw(
-            carrier_pallas.pack_raw(r), carry, cfg, flip, interpret
-        )[0],
-        lambda r: find_carrier(
+    B, n = raw.shape[0], raw.shape[1] // 2
+    fused_spin = carrier_pallas.spin_supports(B, n)
+
+    def unlocked_fn(r):
+        freq = find_carrier(
             jnp.fft.fft(iq_from_interleaved(r, flip), axis=-1), carry, cfg
-        )[0],
-        raw,
+        )[0].astype(jnp.float32)
+        if fused_spin:
+            bb, amp, cn0 = carrier_pallas.spin_down_fused(
+                r, freq, cfg.samprate, flip, interpret
+            )
+        else:
+            bb, amp, cn0 = spin_down_raw(r, freq, cfg, flip)
+        return freq, bb, amp, cn0
+
+    if fused_spin:
+        first, last = _search_window(carry.search_center, carry.cn0, cfg)
+        kp = -(-_window_bins(cfg) // 128) * 128
+
+        def locked_fn(r):
+            bb, freq, amp, cn0 = carrier_pallas.pm_locked_fused(
+                carrier_pallas.pack_raw(r),
+                first - 1,
+                last - first,
+                n,
+                kp,
+                cfg.samprate,
+                cfg.actual_binsize,
+                flip,
+                interpret,
+            )
+            return freq, bb, amp, cn0
+
+    else:
+
+        def locked_fn(r):
+            freq = find_carrier_windowed_raw(
+                carrier_pallas.pack_raw(r), carry, cfg, flip, interpret
+            )[0]
+            bb, amp, cn0 = spin_down_raw(r, freq, cfg, flip)
+            return freq, bb, amp, cn0
+
+    freq, baseband, amp, cn0 = jax.lax.cond(
+        _fast_search_ok(carry, cfg), locked_fn, unlocked_fn, raw
     )
-    baseband, amp, cn0 = spin_down_raw(raw, freq, cfg, flip)
 
     locked = cn0 > cfg.cn0_threshold
     new_center = jnp.where(locked, freq.astype(cfg.dtype), carry.search_center)

@@ -144,3 +144,370 @@ def windowed_dft_raw(
 
 def supports(B: int, n: int) -> bool:
     return B % _BT == 0 and n % 256 == 0
+
+
+_CH = 8192  # samples per in-kernel chunk (f32 temporaries 256 KB each)
+
+
+def _spin_kernel(x_ref, c_ref, bb_ref, stat_ref, *, flip, samprate):
+    """One-read spin-down: five-moment C/N0 + rotate + int16 emission
+    over a VMEM-resident (BT, n) packed-int16 tile.
+
+    Two passes over the tile (unpack+mix recomputed — VPU compute is
+    free, HBM is not): pass 1 accumulates the spun-signal moments that
+    give the carrier DC phasor and noise variance (pmdemod.c:328-351);
+    pass 2 rotates the carrier onto the I axis and emits the Q (data)
+    axis scaled by √½ as int16 (pmdemod.c:360-368).  Same expressions as
+    carrier._moments_cn0 / spin_down up to sum-order.
+    """
+    n = x_ref.shape[1]
+    nk = n // _CH
+    c = c_ref[:, 0:1]  # (BT, 1) cycles/sample
+    c256 = jnp.mod(c * 256.0, 1.0)
+
+    def spun_chunk(k):
+        # identical two-level phase range reduction to carrier._lo_ramp
+        x = x_ref[:, k * _CH : (k + 1) * _CH]
+        lo = jnp.right_shift(jnp.left_shift(x, 16), 16).astype(jnp.float32)
+        hi = jnp.right_shift(x, 16).astype(jnp.float32)
+        i_, q_ = (hi, lo) if flip else (lo, hi)
+        idx = jax.lax.broadcasted_iota(jnp.int32, (_BT, _CH), 1) + k * _CH
+        ihi = (idx // 256).astype(jnp.float32)
+        ilo = (idx % 256).astype(jnp.float32)
+        ang = (2 * np.pi) * (c256 * ihi + c * ilo)
+        lor = jnp.cos(ang)
+        loi = -jnp.sin(ang)
+        sr = i_ * lor - q_ * loi
+        si = i_ * loi + q_ * lor
+        return sr, si
+
+    z = jnp.zeros((_BT, _CH), jnp.float32)
+    a_r, a_i, a_rr, a_ii, a_ri = z, z, z, z, z
+    for k in range(nk):
+        sr, si = spun_chunk(k)
+        a_r = a_r + sr
+        a_i = a_i + si
+        a_rr = a_rr + sr * sr
+        a_ii = a_ii + si * si
+        a_ri = a_ri + sr * si
+    inv = np.float32(1.0 / n)
+    m_r = a_r.sum(axis=1, keepdims=True) * inv
+    m_i = a_i.sum(axis=1, keepdims=True) * inv
+    m_rr = a_rr.sum(axis=1, keepdims=True) * inv
+    m_ii = a_ii.sum(axis=1, keepdims=True) * inv
+    m_ri = a_ri.sum(axis=1, keepdims=True) * inv
+
+    amp2 = m_r * m_r + m_i * m_i
+    amp = jnp.sqrt(amp2)
+    safe2 = jnp.where(amp2 > 0, amp2, 1.0)
+    e_rot2 = (m_rr * m_r * m_r + 2 * m_ri * m_r * m_i + m_ii * m_i * m_i) / safe2
+    var = jnp.maximum(e_rot2 - amp2, amp2 * np.float32(3e-7) + np.float32(1e-30))
+    cn0 = (10 / np.float32(np.log(10.0))) * jnp.log(
+        np.float32(samprate) * amp2 / (2 * var)
+    )
+    safe_amp = jnp.where(amp > 0, amp, 1.0)
+    ur = jnp.where(amp > 0, m_r / safe_amp, 1.0)  # unit = conj(dc)/amp
+    ui = jnp.where(amp > 0, -m_i / safe_amp, 0.0)
+
+    scale = np.float32(np.sqrt(0.5))
+    for k in range(nk):
+        sr, si = spun_chunk(k)
+        rot_i = sr * ui + si * ur  # imag(spun · unit)
+        bb_ref[:, k * _CH : (k + 1) * _CH] = jnp.trunc(rot_i * scale).astype(
+            jnp.int16
+        )
+    lane = jax.lax.broadcasted_iota(jnp.int32, (_BT, 128), 1)
+    stat_ref[...] = jnp.where(lane == 0, amp, jnp.where(lane == 1, cn0, 0.0))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("samprate", "flip", "interpret")
+)
+def spin_down_fused(
+    raw: jax.Array,
+    carrier_freq: jax.Array,
+    samprate: float,
+    flip: bool = False,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """(B, 2n) raw int16 + (B,) Hz → (baseband int16 (B, n), amp, cn0_db)
+    in ONE HBM read of the raw words (carrier.spin_down_raw needs two).
+    Matches carrier.spin_down's f32 branch up to f32 sum order (baseband
+    within 1 LSB where moment ulps move trunc boundaries)."""
+    packed = pack_raw(raw)
+    B, n = packed.shape
+    assert B % _BT == 0 and n % _CH == 0
+    c = (carrier_freq / np.float32(samprate)).astype(jnp.float32)
+    cb = jnp.broadcast_to(c[:, None], (B, 128))
+    bb, stat = pl.pallas_call(
+        functools.partial(_spin_kernel, flip=flip, samprate=samprate),
+        grid=(B // _BT,),
+        in_specs=[
+            pl.BlockSpec((_BT, n), lambda bi: (bi, 0)),
+            pl.BlockSpec((_BT, 128), lambda bi: (bi, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((_BT, n), lambda bi: (bi, 0)),
+            pl.BlockSpec((_BT, 128), lambda bi: (bi, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, n), jnp.int16),
+            jax.ShapeDtypeStruct((B, 128), jnp.float32),
+        ],
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(packed, cb)
+    return bb, stat[:, 0], stat[:, 1]
+
+
+def spin_supports(B: int, n: int) -> bool:
+    return B % _BT == 0 and n % _CH == 0
+
+
+def _tau(x):
+    """Quinn's second estimator helper (pmdemod.c:43-46)."""
+    r32 = np.float32(np.sqrt(2 / 3.0))
+    return np.float32(0.25) * jnp.log(3 * x * x + 6 * x + 1) - np.float32(
+        np.sqrt(6.0) / 24
+    ) * jnp.log((x + 1 - r32) / (x + 1 + r32))
+
+
+def _locked_kernel(
+    x_ref, iw_ref, mhr, mhi, mlr, mli, h0r, h0i, l0r, l0i,
+    bb_ref, stat_ref, s_r, s_i,
+    *, nhi, kp, flip, samprate, binsize,
+):
+    """Whole locked-path pm block in one HBM read: windowed DFT search →
+    masked peak + Quinn → spin-down moments → rotate + int16 emission.
+
+    The (BT, n) packed tile stays in VMEM across all three passes; the
+    unpack+mix is recomputed per pass (VPU compute is free next to the
+    HBM stream this kernel eliminates).  Math matches
+    carrier.find_carrier_windowed → _windowed_peak_from_s → spin_down's
+    f32 branch (pmdemod.c:246-368) up to f32 sum order.
+    """
+    n = x_ref.shape[1]
+    # ---- pass 1: windowed matmul-DFT (same contraction as _kernel) ----
+    x = x_ref[...]
+    lo = jnp.right_shift(jnp.left_shift(x, 16), 16).astype(jnp.float32)
+    hi = jnp.right_shift(x, 16).astype(jnp.float32)
+    i_, q_ = (hi, lo) if flip else (lo, hi)
+    xr = i_.reshape(_BT, nhi, 256)
+    xi = q_.reshape(_BT, nhi, 256)
+    dn = (((0,), (0,)), ((), ()))
+    for c in range(_BT):
+        hr = mhr[c][:, None] * h0r[...] - mhi[c][:, None] * h0i[...]
+        hi_t = mhr[c][:, None] * h0i[...] + mhi[c][:, None] * h0r[...]
+        ar = (
+            jax.lax.dot_general(xr[c], hr, dn)
+            - jax.lax.dot_general(xi[c], hi_t, dn)
+        )
+        ai = (
+            jax.lax.dot_general(xr[c], hi_t, dn)
+            + jax.lax.dot_general(xi[c], hr, dn)
+        )
+        wr = mlr[c][:, None] * l0r[...] - mli[c][:, None] * l0i[...]
+        wi = mlr[c][:, None] * l0i[...] + mli[c][:, None] * l0r[...]
+        s_r[c, :] = (ar * wr - ai * wi).sum(axis=0)
+        s_i[c, :] = (ar * wi + ai * wr).sum(axis=0)
+
+    # ---- pass 2: masked last-max peak + Quinn (pmdemod.c:257-318) ----
+    sr_all = s_r[...]
+    si_all = s_i[...]
+    energy = sr_all * sr_all + si_all * si_all
+    kk = jax.lax.broadcasted_iota(jnp.int32, (_BT, kp), 1)
+    first1 = iw_ref[:, 0:1]  # (BT, 1) int32
+    wlen = iw_ref[:, 1:2]  # last - first
+    mask = (kk >= 1) & (kk < wlen + 1)
+    masked = jnp.where(mask, energy, np.float32(-1.0))
+    m = masked.max(axis=1, keepdims=True)
+    pk = jnp.where(masked == m, kk, jnp.int32(-1)).max(axis=1, keepdims=True)
+
+    def lane_pick(arr, idx):
+        return jnp.where(kk == idx, arr, np.float32(0.0)).sum(
+            axis=1, keepdims=True
+        )
+
+    maxenergy = lane_pick(energy, pk)
+    sp_r, sp_i = lane_pick(sr_all, pk), lane_pick(si_all, pk)
+    sn_r, sn_i = lane_pick(sr_all, pk + 1), lane_pick(si_all, pk + 1)
+    sm_r, sm_i = lane_pick(sr_all, pk - 1), lane_pick(si_all, pk - 1)
+    safe = jnp.where(maxenergy > 0, maxenergy, np.float32(1.0))
+    ap = (sn_r * sp_r + sn_i * sp_i) / safe
+    dp = -ap / (1 - ap)
+    am = (sm_r * sp_r + sm_i * sp_i) / safe
+    dm = am / (1 - am)
+    d = (dp + dm) * np.float32(0.5) + _tau(dp * dp) - _tau(dm * dm)
+    d = jnp.where(maxenergy > 0, d, np.float32(0.0))
+    peak = (first1 + pk).astype(jnp.float32)
+    freq = np.float32(binsize) * (peak + d)
+    fs = np.float32(samprate)
+    freq = jnp.where(freq > fs / 2, freq - fs, freq)
+
+    # ---- passes 3+4: spin-down moments, rotate, emit (as _spin_kernel) —
+    cc = freq / fs  # (BT, 1) cycles/sample
+    c256 = jnp.mod(cc * 256.0, 1.0)
+    nk = n // _CH
+
+    def spun_chunk(k):
+        xc = x_ref[:, k * _CH : (k + 1) * _CH]
+        lo = jnp.right_shift(jnp.left_shift(xc, 16), 16).astype(jnp.float32)
+        hi = jnp.right_shift(xc, 16).astype(jnp.float32)
+        i_, q_ = (hi, lo) if flip else (lo, hi)
+        idx = jax.lax.broadcasted_iota(jnp.int32, (_BT, _CH), 1) + k * _CH
+        ihi = (idx // 256).astype(jnp.float32)
+        ilo = (idx % 256).astype(jnp.float32)
+        ang = (2 * np.pi) * (c256 * ihi + cc * ilo)
+        lor = jnp.cos(ang)
+        loi = -jnp.sin(ang)
+        sr = i_ * lor - q_ * loi
+        si = i_ * loi + q_ * lor
+        return sr, si
+
+    z = jnp.zeros((_BT, _CH), jnp.float32)
+    a_r, a_i, a_rr, a_ii, a_ri = z, z, z, z, z
+    for k in range(nk):
+        sr, si = spun_chunk(k)
+        a_r = a_r + sr
+        a_i = a_i + si
+        a_rr = a_rr + sr * sr
+        a_ii = a_ii + si * si
+        a_ri = a_ri + sr * si
+    inv = np.float32(1.0 / n)
+    m_r = a_r.sum(axis=1, keepdims=True) * inv
+    m_i = a_i.sum(axis=1, keepdims=True) * inv
+    m_rr = a_rr.sum(axis=1, keepdims=True) * inv
+    m_ii = a_ii.sum(axis=1, keepdims=True) * inv
+    m_ri = a_ri.sum(axis=1, keepdims=True) * inv
+
+    amp2 = m_r * m_r + m_i * m_i
+    amp = jnp.sqrt(amp2)
+    safe2 = jnp.where(amp2 > 0, amp2, 1.0)
+    e_rot2 = (m_rr * m_r * m_r + 2 * m_ri * m_r * m_i + m_ii * m_i * m_i) / safe2
+    var = jnp.maximum(e_rot2 - amp2, amp2 * np.float32(3e-7) + np.float32(1e-30))
+    cn0 = (10 / np.float32(np.log(10.0))) * jnp.log(fs * amp2 / (2 * var))
+    safe_amp = jnp.where(amp > 0, amp, 1.0)
+    ur = jnp.where(amp > 0, m_r / safe_amp, 1.0)
+    ui = jnp.where(amp > 0, -m_i / safe_amp, 0.0)
+
+    scale = np.float32(np.sqrt(0.5))
+    for k in range(nk):
+        sr, si = spun_chunk(k)
+        rot_i = sr * ui + si * ur
+        bb_ref[:, k * _CH : (k + 1) * _CH] = jnp.trunc(rot_i * scale).astype(
+            jnp.int16
+        )
+    lane = jax.lax.broadcasted_iota(jnp.int32, (_BT, 128), 1)
+    stat_ref[...] = jnp.where(
+        lane == 0,
+        amp,
+        jnp.where(lane == 1, cn0, jnp.where(lane == 2, freq, peak)),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n", "kp", "samprate", "binsize", "flip", "interpret"),
+)
+def pm_locked_fused(
+    packed: jax.Array,
+    first1: jax.Array,
+    wlen: jax.Array,
+    n: int,
+    kp: int,
+    samprate: float,
+    binsize: float,
+    flip: bool = False,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Entire locked pm block from (B, n) packed int16 IQ words in one
+    HBM read: → (baseband int16 (B, n), carrier_freq, amp, cn0_db).
+
+    first1 = firstbin-1, wlen = lastbin-firstbin per channel (see
+    carrier._search_window); callers must pass the
+    carrier._fast_search_capable + spin_supports gates."""
+    B = packed.shape[0]
+    nhi = n // 256
+    assert B % _BT == 0 and n % 256 == 0 and n % _CH == 0 and kp % 128 == 0
+
+    kk = np.arange(kp, dtype=np.int64)
+    h = np.arange(nhi, dtype=np.int64)
+    tl = np.arange(256, dtype=np.int64)
+
+    def cexp_np(num, den):
+        return np.exp((-2j * np.pi / den) * num.astype(np.float32)).astype(
+            np.complex64
+        )
+
+    hi0 = cexp_np((h[:, None] * kk[None, :]) % nhi, nhi)
+    lo0 = cexp_np((tl[:, None] * kk[None, :]) % n, n)
+
+    def cexp(num, den):
+        return jnp.exp((-2j * np.pi / den) * num.astype(jnp.float32)).astype(
+            jnp.complex64
+        )
+
+    hj = jnp.asarray(h, jnp.int32)
+    tj = jnp.asarray(tl, jnp.int32)
+    mixh = cexp((hj[None, :] * (first1 % nhi)[:, None]) % nhi, nhi)
+    mixl = cexp((tj[None, :] * (first1 % n)[:, None]) % n, n)
+
+    iw = jnp.stack(
+        [first1.astype(jnp.int32), wlen.astype(jnp.int32)], axis=1
+    )
+    iw = jnp.pad(iw, ((0, 0), (0, 126)))
+
+    bb, stat = pl.pallas_call(
+        functools.partial(
+            _locked_kernel,
+            nhi=nhi,
+            kp=kp,
+            flip=flip,
+            samprate=samprate,
+            binsize=binsize,
+        ),
+        grid=(B // _BT,),
+        in_specs=[
+            pl.BlockSpec((_BT, n), lambda bi: (bi, 0)),
+            pl.BlockSpec((_BT, 128), lambda bi: (bi, 0)),
+            pl.BlockSpec((_BT, nhi), lambda bi: (bi, 0)),
+            pl.BlockSpec((_BT, nhi), lambda bi: (bi, 0)),
+            pl.BlockSpec((_BT, 256), lambda bi: (bi, 0)),
+            pl.BlockSpec((_BT, 256), lambda bi: (bi, 0)),
+            pl.BlockSpec((nhi, kp), lambda bi: (0, 0)),
+            pl.BlockSpec((nhi, kp), lambda bi: (0, 0)),
+            pl.BlockSpec((256, kp), lambda bi: (0, 0)),
+            pl.BlockSpec((256, kp), lambda bi: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((_BT, n), lambda bi: (bi, 0)),
+            pl.BlockSpec((_BT, 128), lambda bi: (bi, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, n), jnp.int16),
+            jax.ShapeDtypeStruct((B, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((_BT, kp), jnp.float32),
+            pltpu.VMEM((_BT, kp), jnp.float32),
+        ],
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        packed,
+        iw,
+        mixh.real, mixh.imag, mixl.real, mixl.imag,
+        jnp.asarray(hi0.real), jnp.asarray(hi0.imag),
+        jnp.asarray(lo0.real), jnp.asarray(lo0.imag),
+    )
+    return bb, stat[:, 2], stat[:, 0], stat[:, 1]

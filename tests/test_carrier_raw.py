@@ -63,6 +63,29 @@ def test_spin_down_raw_bit_identical():
     np.testing.assert_array_equal(np.asarray(cn02), np.asarray(cn0))
 
 
+def test_spin_down_fused_matches_spin_down():
+    """The one-read Pallas spin-down agrees with spin_down: amp/cn0 to
+    f32 sum-order tolerance, baseband within 1 LSB (moment ulps move
+    trunc boundaries)."""
+    from isee3_decoder_tpu.ops import carrier_pallas
+
+    cfg = carrier.PMConfig(samprate=32768.0, binsize=4.0, search_width=100.0)
+    raw, iq_c, carry, freqs = _setup(cfg)
+    assert carrier_pallas.spin_supports(raw.shape[0], raw.shape[1] // 2)
+    f = jnp.asarray(freqs, jnp.float32) + 0.125
+    rot, amp, cn0 = carrier.spin_down(jnp.asarray(iq_c), f, cfg)
+    bb_ref = jnp.trunc(rot.imag * np.sqrt(0.5)).astype(jnp.int16)
+    bb, amp2, cn02 = carrier_pallas.spin_down_fused(
+        jnp.asarray(raw), f, cfg.samprate, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(amp2), np.asarray(amp), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(cn02), np.asarray(cn0), atol=1e-2)
+    diff = np.abs(
+        np.asarray(bb, np.int32) - np.asarray(bb_ref, np.int32)
+    )
+    assert diff.max() <= 1, diff.max()
+
+
 def test_pm_demod_block_raw_matches_block():
     """Full raw block step ≈ classic block step on the converted block:
     identical lock decisions, frequencies to matmul-order tolerance,
