@@ -84,14 +84,43 @@ def demod_to_symbols(
         nblocks = L // n
         blocks = iq[:, : nblocks * 2 * n].reshape(B, nblocks, 2 * n)
 
-    carry = init_carry(B, cfg.pm)
-    carry, pm_out = pm_demod_scan(carry, blocks, cfg.pm)
-    baseband = jnp.swapaxes(pm_out.baseband, 0, 1).reshape(B, nblocks * n)
-
     wlen = window_samples(cfg.sym)
     first0 = initial_firstsample(cfg.sym)
     # one window of slack for the ± timing search and drift
     nwindows = max((nblocks * n - first0) // wlen - 1, 0)
+
+    from isee3_decoder_tpu.ops.carrier import (
+        _scan_fused_capable,
+        pm_demod_scan_csum,
+    )
+
+    raw_in = not jnp.issubdtype(iq.dtype, jnp.complexfloating)
+    if (
+        raw_in
+        and cfg.csum_backend != "jnp"
+        and nwindows >= 1
+        and _scan_fused_capable(cfg.pm, B, n, nblocks)
+        and _fused_csum_ok(cfg, B, n, nblocks, nwindows)
+    ):
+        # ONE kernel runs the whole pm block loop and emits the csum the
+        # symbol demod consumes; the int16 baseband never exists in HBM.
+        # Reconstructed here only for callers that ask (XLA removes it
+        # when dead, as in the fused receive chain).
+        carry, csum, stats, tots = pm_demod_scan_csum(
+            init_carry(B, cfg.pm), blocks, cfg.pm
+        )
+        _, sym_out = symdemod_scan_csum(csum, cfg.sym, nwindows)
+        soft = jnp.swapaxes(sym_out.soft, 0, 1).reshape(B, -1)
+        baseband = jnp.concatenate(
+            [csum[:, 1:] - csum[:, :-1], (tots - csum[:, -1])[:, None]],
+            axis=1,
+        ).astype(jnp.int16)
+        return soft, baseband, stats.carrier_freq, stats.cn0
+
+    carry = init_carry(B, cfg.pm)
+    carry, pm_out = pm_demod_scan(carry, blocks, cfg.pm)
+    baseband = jnp.swapaxes(pm_out.baseband, 0, 1).reshape(B, nblocks * n)
+
     if _fused_csum_ok(cfg, B, n, nblocks, nwindows):
         # ONE HBM pass replaces transpose + separate cumsum: the scan-
         # layout int16 baseband streams straight into the exclusive int32

@@ -45,6 +45,12 @@ class PMConfig:
     #: when shapes allow, else the XLA einsum; "xla" forces the einsum;
     #: "pallas_interpret" forces the kernel in interpreter mode (tests).
     search_backend: str = "auto"
+    #: full-passband (unlocked) spectrum engine: "auto" uses the
+    #: two-stage Cooley-Tukey matmul DFT on TPU (XLA's batched FFT is
+    #: ~8x slower there at production shapes — the MXU form computes the
+    #: same spectrum to f32 rounding); "fft" forces jnp.fft.fft;
+    #: "matmul" forces the matmul form (tests).  float64 always FFTs.
+    unlocked_search: str = "auto"
 
     @property
     def fftsize(self) -> int:
@@ -143,6 +149,57 @@ def _search_window(
     first = jnp.where(locked, first, 0)
     last = jnp.where(locked, last, n)
     return first, last
+
+
+def _matmul_spectrum_capable(cfg: PMConfig, n: int) -> bool:
+    """Static gate for the two-stage matmul DFT full spectrum."""
+    if cfg.unlocked_search == "fft" or cfg.dtype != jnp.float32:
+        return False
+    if cfg.unlocked_search == "auto" and jax.default_backend() != "tpu":
+        return False
+    nhi = n // 256
+    return n % 256 == 0 and nhi >= 2 and nhi <= 2048 and 256 * n < 2**31
+
+
+def full_spectrum(iq: jax.Array, cfg: PMConfig) -> jax.Array:
+    """(B, n) complex → (B, n) complex full DFT spectrum for the
+    unlocked carrier search (pmdemod.c:253).
+
+    On TPU the batched 2^16-point FFT is ~8x slower than two 256-ish
+    matmuls on the MXU, so the fast path computes the same transform by
+    one-level Cooley-Tukey: with t = 256·h + l and f = nhi·a + q,
+
+        X[f] = Σ_l e^{-2πi l a/256} · e^{-2πi l q/n} · Σ_h x[h,l] e^{-2πi h q/nhi}
+
+    i.e. a (nhi, nhi) DFT matmul over h, a twiddle, and a (256, 256) DFT
+    matmul over l.  All twiddle phases are exact int32 products (gated).
+    Values match jnp.fft.fft to f32 matmul rounding; float64 golden runs
+    keep the FFT.
+    """
+    n = iq.shape[-1]
+    if not _matmul_spectrum_capable(cfg, n):
+        return jnp.fft.fft(iq, axis=-1)
+    B = iq.shape[0]
+    nhi = n // 256
+
+    def cexp(num: np.ndarray, den: int) -> jax.Array:
+        return jnp.asarray(
+            np.exp((-2j * np.pi / den) * (num % den).astype(np.float32)),
+            jnp.complex64,
+        )
+
+    h = np.arange(nhi, dtype=np.int64)
+    l = np.arange(256, dtype=np.int64)
+    q = h
+    a = l
+    d1 = cexp(h[:, None] * q[None, :], nhi)  # (nhi, nhi)
+    tw = cexp(q[:, None] * l[None, :], n)  # (nhi, 256)
+    d2 = cexp(l[:, None] * a[None, :], 256)  # (256, 256)
+
+    x3 = iq.astype(jnp.complex64).reshape(B, nhi, 256)
+    g = jnp.einsum("bhl,hq->bql", x3, d1)
+    x = jnp.einsum("bql,la->bqa", g * tw[None, :, :], d2)  # f = nhi·a + q
+    return jnp.swapaxes(x, 1, 2).reshape(B, n)
 
 
 def find_carrier(
@@ -491,7 +548,7 @@ def pm_demod_block_raw(
 
     def unlocked_fn(r):
         freq = find_carrier(
-            jnp.fft.fft(iq_from_interleaved(r, flip), axis=-1), carry, cfg
+            full_spectrum(iq_from_interleaved(r, flip), cfg), carry, cfg
         )[0].astype(jnp.float32)
         if fused_spin:
             bb, amp, cn0 = carrier_pallas.spin_down_fused(
@@ -555,11 +612,11 @@ def pm_demod_block(
         freq = jax.lax.cond(
             _fast_search_ok(carry, cfg),
             lambda x: find_carrier_windowed(x, carry, cfg)[0],
-            lambda x: find_carrier(jnp.fft.fft(x, axis=-1), carry, cfg)[0],
+            lambda x: find_carrier(full_spectrum(x, cfg), carry, cfg)[0],
             iq,
         )
     else:
-        freq, _ = find_carrier(jnp.fft.fft(iq, axis=-1), carry, cfg)
+        freq, _ = find_carrier(full_spectrum(iq, cfg), carry, cfg)
     rotated, amp, cn0 = spin_down(iq, freq, cfg)
 
     locked = cn0 > cfg.cn0_threshold
@@ -611,6 +668,109 @@ def pm_demod_scan(
         return c, out
 
     return jax.lax.scan(step, carry, jnp.swapaxes(iq_blocks, 0, 1))
+
+
+def _scan_fused_capable(cfg: PMConfig, B: int, n: int, T: int) -> bool:
+    """Static gate for the one-dispatch pm scan + csum kernel."""
+    from isee3_decoder_tpu.ops import carrier_pallas, prefix_pallas
+
+    return (
+        T >= 2
+        and _raw_fast_capable(cfg, B, n)
+        and carrier_pallas.spin_supports(B, n)
+        and prefix_pallas.supports(B, n)
+    )
+
+
+class PMScanStats(NamedTuple):
+    """Per-block pm status in scan layout (baseband lives in the csum)."""
+
+    carrier_freq: jax.Array  # (T, B) Hz
+    cn0: jax.Array  # (T, B) dB-Hz
+    locked: jax.Array  # (T, B) bool
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "flip"))
+def pm_demod_scan_csum(
+    carry: PMCarry,
+    raw_blocks: jax.Array,
+    cfg: PMConfig = PMConfig(),
+    flip: bool = False,
+) -> tuple[PMCarry, jax.Array, PMScanStats, jax.Array]:
+    """pm_demod_scan fused into ONE device kernel, emitting the exclusive
+    int32 prefix sum of the baseband in (B, T·n) layout — the symdemod
+    front-end's exact input (ops/symbols.py) — instead of the baseband.
+
+    Block 0 runs the full cold-start step (pm_demod_block_raw, including
+    the full-passband FFT search when unlocked); blocks 1..T-1 run the
+    locked windowed path inside a single Pallas kernel whose VMEM scratch
+    carries the carrier/lock state and the running csum
+    (carrier_pallas.pm_scan_locked_fused).  If any block/channel fails
+    the locked-path preconditions (carrier._fast_search_ok per block),
+    the whole call falls back in-jit to the reference-faithful block scan
+    + prefix-sum kernel — so results always match pm_demod_scan +
+    prefix_sum_blocks up to the documented 1-LSB trig-ulp tolerance of
+    the fused kernels (bit-exact fallback).
+
+    Returns (carry', csum (B, T·n) int32, PMScanStats, totals (B,) int32
+    inclusive sum of all baseband samples — the last baseband sample is
+    totals - csum[:, -1]).  Callers must pass _scan_fused_capable.
+    """
+    from isee3_decoder_tpu.ops import carrier_pallas, prefix_pallas
+
+    B, T = raw_blocks.shape[0], raw_blocks.shape[1]
+    n = raw_blocks.shape[2] // 2
+    interpret = (
+        cfg.search_backend == "pallas_interpret"
+        or jax.default_backend() != "tpu"
+    )
+
+    carry1, out0 = pm_demod_block_raw(carry, raw_blocks[:, 0], cfg, flip)
+    init = jnp.stack(
+        [
+            jnp.zeros_like(out0.cn0, jnp.float32),  # amp: not in PMBlockOut
+            out0.cn0.astype(jnp.float32),
+            out0.carrier_freq.astype(jnp.float32),
+            carry1.search_center.astype(jnp.float32),
+        ],
+        axis=1,
+    )
+    csum_f, stat, tots_f = carrier_pallas.pm_scan_locked_fused(
+        carrier_pallas.pack_raw(raw_blocks),
+        out0.baseband,
+        init,
+        cfg.samprate,
+        cfg.actual_binsize,
+        cfg.search_width,
+        cfg.cn0_threshold,
+        _window_bins(cfg),
+        flip,
+        interpret,
+    )
+    ok = jnp.all(stat[:, 1:, 3] > 0)
+
+    def fast(_):
+        freq = jnp.swapaxes(stat[:, :, 2], 0, 1).astype(cfg.dtype)
+        cn0 = jnp.swapaxes(stat[:, :, 1], 0, 1).astype(cfg.dtype)
+        c = PMCarry(
+            search_center=stat[:, T - 1, 5].astype(cfg.dtype),
+            cn0=stat[:, T - 1, 1].astype(cfg.dtype),
+        )
+        return c, csum_f, freq, cn0, tots_f
+
+    def fallback(_):
+        c, out = pm_demod_scan(carry, raw_blocks, cfg, flip)
+        csum = prefix_pallas.prefix_sum_blocks(
+            out.baseband, interpret=interpret
+        )
+        tots = csum[:, -1] + out.baseband[T - 1, :, n - 1].astype(jnp.int32)
+        return c, csum, out.carrier_freq, out.cn0, tots
+
+    c, csum, freq, cn0, tots = jax.lax.cond(ok, fast, fallback, None)
+    stats = PMScanStats(
+        carrier_freq=freq, cn0=cn0, locked=cn0 > cfg.cn0_threshold
+    )
+    return c, csum, stats, tots
 
 
 def iq_from_interleaved(raw: jax.Array, flip: bool = False) -> jax.Array:

@@ -277,6 +277,329 @@ def _tau(x):
     ) * jnp.log((x + 1 - r32) / (x + 1 + r32))
 
 
+def _scan_kernel(
+    x_ref, bb0_ref, init_ref, h0r, h0i, l0r, l0i,
+    csum_ref, stat_ref, tot_ref,
+    c_c, c_n, c_s, bb_s,
+    *, nhi, kp, flip, samprate, binsize, search_width, cn0_threshold, wmax,
+):
+    """Whole pmdemod time loop in ONE kernel: grid (B/8, T), t innermost.
+
+    VMEM scratch carries the reference's cross-block globals
+    (Carrier_search_freq, cn0 — pmdemod.c:37,63) plus the running int32
+    baseband total, so the T-block scan needs a single dispatch instead
+    of T.  Each t>0 step assumes the locked windowed path and emits a
+    per-channel ok lane replicating carrier._fast_search_ok; the wrapper
+    falls back to the block scan when any lane fails.  Block 0 (cold
+    start / possible full-passband search) is computed outside and fed
+    in as bb0 + init lanes.  Output is the exclusive int32 prefix sum of
+    the baseband in (B, T·n) layout — the symdemod front-end's input —
+    so the baseband int16 stream never exists in HBM at all.
+    """
+    from isee3_decoder_tpu.ops.prefix_pallas import _tile_cumsum
+
+    n = x_ref.shape[-1]
+    t = pl.program_id(1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (_BT, 128), 1)
+
+    @pl.when(t == 0)
+    def _():
+        init = init_ref[...]  # lanes: 0 amp, 1 cn0, 2 freq, 3 center
+        c_c[...] = init[:, 3:4]
+        c_n[...] = init[:, 1:2]
+        x0 = bb0_ref[...].astype(jnp.int32)
+        inc, tot = _tile_cumsum(x0)
+        csum_ref[...] = inc - x0
+        c_s[...] = tot
+        # stat lanes: 0 amp, 1 cn0, 2 freq, 3 ok, 5 new center
+        stat_ref[...] = jnp.where(
+            lane == 3,
+            np.float32(1.0),
+            jnp.where(lane == 5, init[:, 3:4], init),
+        )
+        tot_ref[...] = jnp.broadcast_to(tot, (_BT, 128))
+
+    @pl.when(t > 0)
+    def _():
+        fs = np.float32(samprate)
+        bsz = np.float32(binsize)
+        w = np.float32(search_width)
+        center = c_c[...]  # (BT, 1)
+        cn0p = c_n[...]
+        lo_f = center - w
+        hi_f = center + w
+        first = jnp.trunc(lo_f / bsz).astype(jnp.int32)
+        last = jnp.trunc(hi_f / bsz).astype(jnp.int32)
+        # per-channel carrier._fast_search_ok: locked, strictly positive
+        # non-wrapping window that fits the static K
+        okw = (
+            (cn0p > np.float32(cn0_threshold))
+            & (lo_f >= bsz)
+            & (hi_f < fs / 2 - bsz)
+            & (first >= 1)
+            & (last > first)
+            & (last - first <= wmax - 2)
+        )
+        first1 = jnp.where(okw, first, 1) - 1  # safe phases when !okw
+        wlen = jnp.where(okw, last - first, 1)
+
+        # per-channel twiddle mix vectors from exact int32 phases
+        # (= carrier.find_carrier_windowed's mixh/mixl)
+        hio = jax.lax.broadcasted_iota(jnp.int32, (_BT, nhi), 1)
+        ah = (2 * np.pi / nhi) * ((hio * (first1 % nhi)) % nhi).astype(
+            jnp.float32
+        )
+        mhr, mhi = jnp.cos(ah), -jnp.sin(ah)
+        tlo = jax.lax.broadcasted_iota(jnp.int32, (_BT, 256), 1)
+        al = (2 * np.pi / n) * ((tlo * (first1 % n)) % n).astype(jnp.float32)
+        mlr, mli = jnp.cos(al), -jnp.sin(al)
+
+        # ---- windowed matmul-DFT (as _locked_kernel pass 1) ----
+        x = x_ref[...]
+        lo16 = jnp.right_shift(jnp.left_shift(x, 16), 16).astype(jnp.float32)
+        hi16 = jnp.right_shift(x, 16).astype(jnp.float32)
+        i_, q_ = (hi16, lo16) if flip else (lo16, hi16)
+        xr = i_.reshape(_BT, nhi, 256)
+        xi = q_.reshape(_BT, nhi, 256)
+        dn = (((0,), (0,)), ((), ()))
+        srs, sis = [], []
+        for c in range(_BT):
+            hr = mhr[c][:, None] * h0r[...] - mhi[c][:, None] * h0i[...]
+            hi_t = mhr[c][:, None] * h0i[...] + mhi[c][:, None] * h0r[...]
+            ar = (
+                jax.lax.dot_general(xr[c], hr, dn)
+                - jax.lax.dot_general(xi[c], hi_t, dn)
+            )
+            ai = (
+                jax.lax.dot_general(xr[c], hi_t, dn)
+                + jax.lax.dot_general(xi[c], hr, dn)
+            )
+            wr = mlr[c][:, None] * l0r[...] - mli[c][:, None] * l0i[...]
+            wi = mlr[c][:, None] * l0i[...] + mli[c][:, None] * l0r[...]
+            srs.append((ar * wr - ai * wi).sum(axis=0, keepdims=True))
+            sis.append((ar * wi + ai * wr).sum(axis=0, keepdims=True))
+        sr_all = jnp.concatenate(srs, axis=0)
+        si_all = jnp.concatenate(sis, axis=0)
+
+        # ---- masked last-max peak + Quinn (as _locked_kernel pass 2) ----
+        energy = sr_all * sr_all + si_all * si_all
+        kk = jax.lax.broadcasted_iota(jnp.int32, (_BT, kp), 1)
+        mask = (kk >= 1) & (kk < wlen + 1)
+        masked = jnp.where(mask, energy, np.float32(-1.0))
+        m = masked.max(axis=1, keepdims=True)
+        pk = jnp.where(masked == m, kk, jnp.int32(-1)).max(
+            axis=1, keepdims=True
+        )
+
+        def lane_pick(arr, idx):
+            return jnp.where(kk == idx, arr, np.float32(0.0)).sum(
+                axis=1, keepdims=True
+            )
+
+        maxenergy = lane_pick(energy, pk)
+        sp_r, sp_i = lane_pick(sr_all, pk), lane_pick(si_all, pk)
+        sn_r, sn_i = lane_pick(sr_all, pk + 1), lane_pick(si_all, pk + 1)
+        sm_r, sm_i = lane_pick(sr_all, pk - 1), lane_pick(si_all, pk - 1)
+        safe = jnp.where(maxenergy > 0, maxenergy, np.float32(1.0))
+        ap = (sn_r * sp_r + sn_i * sp_i) / safe
+        dp = -ap / (1 - ap)
+        am = (sm_r * sp_r + sm_i * sp_i) / safe
+        dm = am / (1 - am)
+        d = (dp + dm) * np.float32(0.5) + _tau(dp * dp) - _tau(dm * dm)
+        d = jnp.where(maxenergy > 0, d, np.float32(0.0))
+        peak = (first1 + pk).astype(jnp.float32)
+        freq = np.float32(binsize) * (peak + d)
+        freq = jnp.where(freq > fs / 2, freq - fs, freq)
+
+        # ---- spin-down moments + rotate + csum emission ----
+        cc = freq / fs
+        c256 = jnp.mod(cc * 256.0, 1.0)
+        nk = n // _CH
+
+        def spun_chunk(k):
+            xc = x_ref[:, k * _CH : (k + 1) * _CH]
+            lo_ = jnp.right_shift(jnp.left_shift(xc, 16), 16).astype(
+                jnp.float32
+            )
+            hi_ = jnp.right_shift(xc, 16).astype(jnp.float32)
+            ii, qq = (hi_, lo_) if flip else (lo_, hi_)
+            idx = jax.lax.broadcasted_iota(jnp.int32, (_BT, _CH), 1) + k * _CH
+            ihi = (idx // 256).astype(jnp.float32)
+            ilo = (idx % 256).astype(jnp.float32)
+            ang = (2 * np.pi) * (c256 * ihi + cc * ilo)
+            lor = jnp.cos(ang)
+            loi = -jnp.sin(ang)
+            return ii * lor - qq * loi, ii * loi + qq * lor
+
+        z = jnp.zeros((_BT, _CH), jnp.float32)
+        a_r, a_i, a_rr, a_ii, a_ri = z, z, z, z, z
+        for k in range(nk):
+            sr, si = spun_chunk(k)
+            a_r = a_r + sr
+            a_i = a_i + si
+            a_rr = a_rr + sr * sr
+            a_ii = a_ii + si * si
+            a_ri = a_ri + sr * si
+        inv = np.float32(1.0 / n)
+        m_r = a_r.sum(axis=1, keepdims=True) * inv
+        m_i = a_i.sum(axis=1, keepdims=True) * inv
+        m_rr = a_rr.sum(axis=1, keepdims=True) * inv
+        m_ii = a_ii.sum(axis=1, keepdims=True) * inv
+        m_ri = a_ri.sum(axis=1, keepdims=True) * inv
+
+        amp2 = m_r * m_r + m_i * m_i
+        amp = jnp.sqrt(amp2)
+        safe2 = jnp.where(amp2 > 0, amp2, 1.0)
+        e_rot2 = (
+            m_rr * m_r * m_r + 2 * m_ri * m_r * m_i + m_ii * m_i * m_i
+        ) / safe2
+        var = jnp.maximum(e_rot2 - amp2, amp2 * np.float32(3e-7) + np.float32(1e-30))
+        cn0 = (10 / np.float32(np.log(10.0))) * jnp.log(fs * amp2 / (2 * var))
+        safe_amp = jnp.where(amp > 0, amp, 1.0)
+        ur = jnp.where(amp > 0, m_r / safe_amp, 1.0)
+        ui = jnp.where(amp > 0, -m_i / safe_amp, 0.0)
+
+        scale = np.float32(np.sqrt(0.5))
+        for k in range(nk):
+            sr, si = spun_chunk(k)
+            rot_i = sr * ui + si * ur
+            bb_s[:, k * _CH : (k + 1) * _CH] = jnp.trunc(
+                rot_i * scale
+            ).astype(jnp.int32)
+        xbb = bb_s[...]
+        inc, tot = _tile_cumsum(xbb)
+        csum_ref[...] = inc - xbb + c_s[...]
+        c_s[...] = c_s[...] + tot
+        tot_ref[...] = jnp.broadcast_to(c_s[...], (_BT, 128))
+
+        lockedv = cn0 > np.float32(cn0_threshold)
+        new_center = jnp.where(lockedv, freq, center)
+        c_c[...] = new_center
+        c_n[...] = cn0
+        okf = jnp.where(okw, np.float32(1.0), np.float32(0.0))
+        stat_ref[...] = jnp.where(
+            lane == 0,
+            amp,
+            jnp.where(
+                lane == 1,
+                cn0,
+                jnp.where(
+                    lane == 2,
+                    freq,
+                    jnp.where(lane == 3, okf, new_center),
+                ),
+            ),
+        )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "samprate", "binsize", "search_width", "cn0_threshold", "wmax",
+        "flip", "interpret",
+    ),
+)
+def pm_scan_locked_fused(
+    packed_blocks: jax.Array,
+    bb0: jax.Array,
+    init: jax.Array,
+    samprate: float,
+    binsize: float,
+    search_width: float,
+    cn0_threshold: float,
+    wmax: int,
+    flip: bool = False,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Entire pmdemod block loop (pmdemod.c:204-372) in one dispatch.
+
+    Args:
+      packed_blocks: (B, T, n) packed int32 IQ words (pack_raw layout).
+      bb0: (B, n) int16 block-0 baseband from the cold-start block step.
+      init: (B, 4) f32 per-channel [amp0, cn00, freq0, center_after_0].
+    Returns (csum (B, T·n) int32 exclusive prefix sum of the baseband,
+    stat (B, T, 6) f32 [amp, cn0, freq, ok, ·, new_center], totals (B,)
+    int32 inclusive sum of all T·n baseband samples).  Callers must pass
+    the _fast_search_capable / spin_supports / prefix supports gates and
+    fall back to the block scan when any ok lane is 0 (see
+    carrier.pm_demod_scan_csum).
+    """
+    B, T, n = packed_blocks.shape
+    packed_flat = packed_blocks.reshape(B, T * n)
+    nhi = n // 256
+    kp = -(-wmax // 128) * 128
+    assert B % _BT == 0 and n % 256 == 0 and n % _CH == 0
+
+    kk = np.arange(kp, dtype=np.int64)
+    h = np.arange(nhi, dtype=np.int64)
+    tl = np.arange(256, dtype=np.int64)
+
+    def cexp_np(num, den):
+        return np.exp((-2j * np.pi / den) * num.astype(np.float32)).astype(
+            np.complex64
+        )
+
+    hi0 = cexp_np((h[:, None] * kk[None, :]) % nhi, nhi)
+    lo0 = cexp_np((tl[:, None] * kk[None, :]) % n, n)
+
+    init128 = jnp.pad(init.astype(jnp.float32), ((0, 0), (0, 124)))
+
+    csum, stat, tots = pl.pallas_call(
+        functools.partial(
+            _scan_kernel,
+            nhi=nhi,
+            kp=kp,
+            flip=flip,
+            samprate=samprate,
+            binsize=binsize,
+            search_width=search_width,
+            cn0_threshold=cn0_threshold,
+            wmax=wmax,
+        ),
+        grid=(B // _BT, T),
+        in_specs=[
+            pl.BlockSpec((_BT, n), lambda bi, t: (bi, t)),
+            pl.BlockSpec((_BT, n), lambda bi, t: (bi, 0)),
+            pl.BlockSpec((_BT, 128), lambda bi, t: (bi, 0)),
+            pl.BlockSpec((nhi, kp), lambda bi, t: (0, 0)),
+            pl.BlockSpec((nhi, kp), lambda bi, t: (0, 0)),
+            pl.BlockSpec((256, kp), lambda bi, t: (0, 0)),
+            pl.BlockSpec((256, kp), lambda bi, t: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((_BT, n), lambda bi, t: (bi, t)),
+            pl.BlockSpec((_BT, 128), lambda bi, t: (bi, t)),
+            pl.BlockSpec((_BT, 128), lambda bi, t: (bi, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, T * n), jnp.int32),
+            jax.ShapeDtypeStruct((B, T * 128), jnp.float32),
+            jax.ShapeDtypeStruct((B, 128), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((_BT, 1), jnp.float32),
+            pltpu.VMEM((_BT, 1), jnp.float32),
+            pltpu.VMEM((_BT, 1), jnp.int32),
+            pltpu.VMEM((_BT, n), jnp.int32),
+        ],
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        packed_flat,
+        bb0,
+        init128,
+        jnp.asarray(hi0.real), jnp.asarray(hi0.imag),
+        jnp.asarray(lo0.real), jnp.asarray(lo0.imag),
+    )
+    stat6 = stat.reshape(B, T, 128)[:, :, :6]
+    return csum, stat6, tots[:, 0]
+
+
 def _locked_kernel(
     x_ref, iw_ref, mhr, mhi, mlr, mli, h0r, h0i, l0r, l0i,
     bb_ref, stat_ref, s_r, s_i,
