@@ -58,7 +58,11 @@ def main(argv=None) -> int:
         persistent=a.persistent,
         fano_scale=a.fano_scale,
         fano_delta=delta,
-        fano_maxcycles=a.fano_maxcycles,
+        # Reference quirk: decode.c:202 passes a literal 100 to fano();
+        # the parsed -m value (Fano_maxcycles) is only ever *displayed*.
+        # Mirror that for golden parity — the library DecodeConfig stays
+        # fully configurable for programmatic users.
+        fano_maxcycles=100,
         viterbi_backend=a.backend,
         quicklook=not a.no_quicklook,
     )

@@ -28,7 +28,11 @@ def main(argv=None) -> int:
     symbols = np.frombuffer(raw, np.uint8)[None, :]
     flip = 0
     if a.opposite_phase:
-        symbols = symbols[:, 1:]
+        # qdecode.c:76-80: -p starts the pair counter at 1, so the first
+        # input byte pairs with a phantom zero-initialized symbol
+        symbols = np.concatenate(
+            [np.zeros((1, 1), np.uint8), symbols], axis=1
+        )
         flip = 1
     if not a.dontflip and symbols.shape[1] >= 2082:
         symbols, extra = auto_phase_flip(symbols)

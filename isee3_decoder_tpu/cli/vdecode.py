@@ -39,7 +39,9 @@ def main(argv=None) -> int:
     raw = sys.stdin.buffer.read()
     symbols = np.frombuffer(raw, np.uint8)[None, :]
     if a.opposite_phase:
-        symbols = symbols[:, 1:]
+        # vdecode.c:74-77: -p starts the pair counter at 1, so the first
+        # input byte pairs with a phantom zero-initialized symbol
+        symbols = np.concatenate([np.zeros((1, 1), np.uint8), symbols], axis=1)
     if not a.dontflip and symbols.shape[1] >= 2082:
         symbols, extra = auto_phase_flip(symbols)
         if extra and not a.quiet:

@@ -161,9 +161,12 @@ def symdemod_tracked(
     outs = []
     infos = []
     for w in range(nwindows):
+        import math
+
         nsym = int(cfg.window * cfg.samprate / symbolsamples)
         half = (0.5 / cfg.symbolclocks) * symbolsamples
-        noff = 2 * int(symbolsamples / 2) + 1
+        # C offset range -trunc(s/2) .. ceil(s/2)-1 (symdemod.c:273,305)
+        noff = int(symbolsamples / 2) + math.ceil(symbolsamples / 2)
         ts = sym_ops.timesearch_from_csum(
             csum, jnp.asarray(first, jnp.int32), half, nsym, cfg.symbolclocks, noff
         )

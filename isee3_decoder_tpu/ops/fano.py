@@ -282,9 +282,14 @@ def fano_decode(
             to_bwd, 1, jnp.where(relax | toggle_next, 0, c.mode)
         )
         done_next = c.done | newly_done
-        # timeout: a forward element that has burned all cycles fails now
+        # Timeout parity with fano.c:110: the budget counts forward looks
+        # (backtrack steps ride inside the same C loop iteration), and the
+        # i<=maxcycles check happens at the TOP of the loop — so a lane
+        # whose last forward look violated the threshold still completes
+        # its backtrack micro-steps (until it is forward-ready again)
+        # before stopping.  Gate the timeout on mode_next == 0.
         cycles_next = c.cycles + fwd.astype(jnp.int32)
-        timeout = ~done_next & (cycles_next >= max_total)
+        timeout = ~done_next & (cycles_next >= max_total) & (mode_next == 0)
         done_next = done_next | timeout
 
         # one dump-slot scatter per state array
@@ -332,5 +337,11 @@ def fano_decode(
 
     bits = (final.enc[:, :N] & 1).astype(jnp.uint8)
     goodbits = final.np_idx + 1
+    # Partial-decode convention of fano.c:193-202 as used by decode.c:201:
+    # only the first goodbits/8 FULL bytes of the path are copied out; the
+    # caller's zero-filled buffer supplies the rest.  Zero everything past
+    # that boundary so failed frames print exactly like the reference's.
+    valid = jnp.arange(N, dtype=jnp.int32)[None, :] < ((goodbits // 8) * 8)[:, None]
+    bits = jnp.where(valid, bits, 0).astype(jnp.uint8)
     metric = final.gamma[bidx, final.np_idx]
     return FanoResult(bits=bits, goodbits=goodbits, metric=metric, cycles=final.cycles)

@@ -91,6 +91,9 @@ def oracle_fano(symbols, nbits, mettab, delta, maxcycles, encstate, tailbits, co
                 enc[npi] ^= 1
                 break
     bits = np.array([e & 1 for e in enc], np.uint8)
+    # fano.c:193-202 output convention: only goodbits/8 FULL bytes of the
+    # path are copied to the caller's zeroed buffer
+    bits[((npi + 1) // 8) * 8 :] = 0
     return bits, npi + 1, gamma[npi], i
 
 

@@ -1,0 +1,160 @@
+"""Golden cross-validation of the legacy tools against the compiled C
+reference: qdecode, framer, vdecode (SSE2 streaming Viterbi), gensine,
+and the decode.c Viterbi-fallback policy (prev-frame gating, -p).
+
+Complements tests/test_golden_c.py (metrics/encoder/symdemod/Fano decode).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from _golden_builder import REF, run_golden
+from test_golden_c import parse_frames, run_repo_cli, soft_symbol_stream
+
+pytestmark = pytest.mark.golden
+
+if not REF.is_dir():  # pragma: no cover
+    pytest.skip("reference tree unavailable", allow_module_level=True)
+
+
+# ---------------------------------------------------------------------------
+# qdecode (quick-look) — qdecode.c:129-134
+
+
+def test_qdecode_bits_match_c():
+    rng = np.random.default_rng(31)
+    soft, _ = soft_symbol_stream(rng, nframes=2, noise=6.0, lead=0)
+    for args in (["-F"], ["-F", "-p"]):
+        c_out, _ = run_golden("qdecode", [*args, "-q"], soft.tobytes())
+        my_out, _ = run_repo_cli("qdecode", [*args, "-q"], soft.tobytes())
+        assert c_out == my_out
+        assert len(c_out) > 1000
+
+
+# ---------------------------------------------------------------------------
+# framer — framer.c:61-95
+
+
+def test_framer_output_matches_c():
+    from isee3_decoder_tpu.config import SYNCWORD
+
+    rng = np.random.default_rng(32)
+    # decoded-bit stream: noise bits, then 3 frames each ending in syncword
+    frames = rng.integers(0, 256, (3, 128), dtype=np.uint8)
+    frames[:, -5:] = list(SYNCWORD.to_bytes(5, "big"))
+    bits = np.unpackbits(frames.reshape(-1))
+    lead = rng.integers(0, 2, 777).astype(np.uint8)
+    # make sure the lead doesn't accidentally contain the syncword
+    stream = "".join(map(str, np.concatenate([lead, bits])))
+    c_out, _ = run_golden("framer", [], stream.encode())
+    my_out, _ = run_repo_cli("framer", [], stream.encode())
+
+    import re
+
+    def parse(text: str):
+        out = []
+        cur = None
+        for line in text.splitlines():
+            m = re.match(r"Frame ([\d,]+) at bit ([\d,]+)", line)
+            if m:
+                cur = {
+                    "no": int(m[1].replace(",", "")),
+                    "bit": int(m[2].replace(",", "")),
+                    "hex": [],
+                }
+                out.append(cur)
+            elif cur is not None and re.match(r"^[0-9a-f]{2}[0-9a-f ]*$", line):
+                cur["hex"].extend(line.split())
+        return out
+
+    cf, mf = parse(c_out.decode()), parse(my_out.decode())
+    assert len(cf) == len(mf) == 3
+    for a, b in zip(cf, mf):
+        assert a == b
+        assert bytes(int(x, 16) for x in a["hex"])[-5:] == SYNCWORD.to_bytes(5, "big")
+
+
+# ---------------------------------------------------------------------------
+# gensine — gensine.c (iterative phase accumulator vs analytic ramp:
+# last-ulp phase differences may flip an int16 truncation by ±1 in a
+# handful of samples)
+
+
+def test_gensine_matches_c_within_truncation():
+    from isee3_decoder_tpu.utils.testsignal import gensine
+
+    c_out, _ = run_golden("gensine", [], b"")
+    c_iq = np.frombuffer(c_out, "<i2")
+    mine = gensine(len(c_iq) // 2)
+    assert mine.shape == c_iq.shape
+    diff = np.abs(mine.astype(np.int32) - c_iq.astype(np.int32))
+    assert diff.max() <= 1
+    assert (diff != 0).mean() < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# vdecode — streaming SSE2 Viterbi with fixed decode delay
+# (vdecode.c:145-154).  ~2000 information bits through the full 2^23-state
+# lattice in C: a few seconds of SSE2.
+
+
+@pytest.mark.slow
+def test_vdecode_bits_match_c():
+    rng = np.random.default_rng(33)
+    soft, _ = soft_symbol_stream(rng, nframes=1, amp=40.0, noise=12.0, lead=0)
+    delay = 100
+    c_out, c_err = run_golden(
+        "vdecode_sse", ["-F", "-d", str(delay)], soft.tobytes()
+    )
+    my_out, _ = run_repo_cli(
+        "vdecode", ["-F", "-q", "-d", str(delay)], soft.tobytes()
+    )
+    assert len(c_out) > 500
+    assert c_out == my_out
+
+
+# ---------------------------------------------------------------------------
+# decode.c Viterbi fallback policy (decode.c:209-231): Fano fails on a
+# crushed frame; Viterbi runs only when the previous frame decoded (lock)
+# or -p is given.  The C Viterbi pass is a full 2^23-state frame decode.
+
+
+def _stream_with_crushed_frame(rng, nframes=3, crush_idx=1, amp=40.0,
+                               noise=18.0, crush_noise=34.0):
+    from isee3_decoder_tpu.config import FRAMESYMBOLS, SYNCBITS
+
+    soft, frames = soft_symbol_stream(rng, nframes=nframes, amp=amp,
+                                      noise=noise, lead=257)
+    # re-noise one frame at a level where Fano times out but Viterbi
+    # still decodes (Eb/N0 ≈ 1.7 dB)
+    lo = 257 + SYNCBITS + crush_idx * FRAMESYMBOLS
+    from isee3_decoder_tpu.utils.testsignal import frames_to_symbols
+
+    syms = frames_to_symbols(frames)[crush_idx * FRAMESYMBOLS:(crush_idx + 1) * FRAMESYMBOLS]
+    levels = np.where(syms > 0, amp, -amp)
+    body = levels + rng.normal(0, crush_noise, levels.shape) + 128.0
+    s = soft.copy()
+    s[lo : lo + FRAMESYMBOLS] = np.clip(body, 0, 255).astype(np.uint8)
+    return s, frames
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("flags", [[], ["-p"]])
+def test_decode_viterbi_fallback_matches_c(flags):
+    rng = np.random.default_rng(35)
+    soft, frames = _stream_with_crushed_frame(rng)
+    c_out, _ = run_golden("decode_sse", flags, soft.tobytes())
+    my_out, _ = run_repo_cli(
+        "decode", [*flags, "--no-quicklook"], soft.tobytes()
+    )
+    cf = parse_frames(c_out.decode())
+    mf = parse_frames(my_out.decode())
+    assert len(cf) == len(mf) == 3
+    for a, b in zip(cf, mf):
+        assert a == b
+    # the middle frame must actually have exercised the fallback
+    assert cf[1]["decoder"] == "Viterbi"
+    assert not cf[1]["bad"]
+    assert cf[1]["data"] == frames[1].tobytes()
