@@ -21,6 +21,7 @@ import numpy as np
 
 from isee3_decoder_tpu.models.decode import (
     DecodeConfig,
+    DecodeStreamState,
     FrameRecord,
     decode_block_device,
     decode_stream,
@@ -258,6 +259,153 @@ def receive_block(
         fano_cycles=cycles,
     )
     return rec, ss
+
+
+class ChainCarry(NamedTuple):
+    """Explicit cross-call carry for the streaming receive chain — the
+    process-memory state of the reference's three while(1) loops
+    (pmdemod.c:204, symdemod.c:96, decode.c:149) as one serializable
+    pytree-of-arrays (SURVEY.md §5.4: this IS the checkpoint story).
+
+    All host-side ndarrays/ints except ``pm`` (the jitted pm scan carry).
+    """
+
+    pm: object  # PMCarry pytree (carrier freq, lock, LO state)
+    iq_rem: np.ndarray  # (B, r) unconsumed trailing IQ values (< 1 block)
+    bb: np.ndarray  # (B, l) int16 residual baseband window
+    bb_base: int  # absolute sample index of bb[:, 0]
+    bb_total: int  # total baseband samples produced so far
+    first: np.ndarray  # (B,) int64 absolute symbol-timing position
+    windows_done: int  # symdemod windows emitted so far
+    soft: np.ndarray  # (B, s) uint8 soft symbols not yet consumed
+    soft_base: int  # absolute symbol index of soft[:, 0]
+    dec: DecodeStreamState
+
+
+def init_chain_carry(batch: int, cfg: PipelineConfig = PipelineConfig()) -> ChainCarry:
+    return ChainCarry(
+        pm=init_carry(batch, cfg.pm),
+        iq_rem=np.zeros((batch, 0), np.int16),
+        bb=np.zeros((batch, 0), np.int16),
+        bb_base=0,
+        bb_total=0,
+        first=np.full((batch,), initial_firstsample(cfg.sym), np.int64),
+        windows_done=0,
+        soft=np.zeros((batch, 0), np.uint8),
+        soft_base=0,
+        dec=DecodeStreamState(batch),
+    )
+
+
+def receive_stream(
+    iq: np.ndarray,
+    cfg: PipelineConfig = PipelineConfig(),
+    carry: ChainCarry | None = None,
+    trim: bool = True,
+) -> tuple[list[FrameRecord], ChainCarry]:
+    """Process one chunk of a long recording, carrying acquisition state.
+
+    The library-level form of the reference's unbounded stream semantics:
+    consecutive calls on consecutive chunks produce byte-identical soft
+    symbols and frames to ONE call on the concatenated recording — no
+    re-acquisition transient at chunk boundaries (VERDICT r1 #4).  Frame
+    ``start_symbol`` values are absolute stream symbol indices.
+
+    Fixed-size chunks reuse one compiled program per stage; ragged chunks
+    recompile per distinct (nblocks, nwindows) pair.
+    """
+    if carry is None:
+        if iq.ndim == 1:
+            iq = iq[None, :]
+        carry = init_chain_carry(iq.shape[0], cfg)
+    iq = np.asarray(iq)
+    if iq.ndim == 1:
+        iq = iq[None, :]
+    B = iq.shape[0]
+    n = cfg.pm.fftsize
+    raw_in = not np.issubdtype(iq.dtype, np.complexfloating)
+    blockvals = 2 * n if raw_in else n  # values per pm block
+
+    # ---- pmdemod: whole FFT blocks; remainder carries over ----
+    stream = np.concatenate([carry.iq_rem.astype(iq.dtype), iq], axis=1)
+    nblocks = stream.shape[1] // blockvals
+    iq_rem = stream[:, nblocks * blockvals :]
+    pm_carry = carry.pm
+    bb = carry.bb
+    bb_total = carry.bb_total
+    if nblocks:
+        blocks = jnp.asarray(
+            stream[:, : nblocks * blockvals].reshape(B, nblocks, blockvals)
+        )
+        pm_carry, pm_out = pm_demod_scan(pm_carry, blocks, cfg.pm)
+        new_bb = np.asarray(
+            jnp.swapaxes(pm_out.baseband, 0, 1).reshape(B, nblocks * n)
+        )
+        bb = np.concatenate([bb, new_bb], axis=1)
+        bb_total += nblocks * n
+
+    # ---- symdemod: the one-shot window-count rule applied to the
+    # stream prefix (demod_to_symbols: (L - first0)//wlen - 1) ----
+    wlen = window_samples(cfg.sym)
+    first0 = initial_firstsample(cfg.sym)
+    target = max((bb_total - first0) // wlen - 1, 0)
+    nwin = target - carry.windows_done
+    first = carry.first
+    soft = carry.soft
+    bb_base = carry.bb_base
+    if nwin > 0:
+        first_rel = (first - bb_base).astype(np.int64)
+        assert (first_rel >= 0).all()
+        _, sym_out = symdemod_scan(
+            jnp.asarray(bb), cfg.sym, int(nwin), jnp.asarray(first_rel, jnp.int32)
+        )
+        new_soft = np.asarray(
+            jnp.swapaxes(sym_out.soft, 0, 1).reshape(B, -1)
+        )
+        soft = np.concatenate([soft, new_soft], axis=1)
+        # advance the carried firstsample with the C truncation walk
+        last_first = np.asarray(sym_out.firstsample[-1], np.int64) + bb_base
+        first = np.trunc(
+            last_first.astype(np.float64) + cfg.sym.nsymbols * cfg.sym.symbolsamples
+        ).astype(np.int64)
+        # purge consumed baseband (symdemod.c:101-112 slide, with the
+        # reference's 2-symbol lookback slop)
+        keep_from = int(first.min()) - 2 * int(cfg.sym.symbolsamples) - 8
+        slide = max(min(keep_from - bb_base, bb.shape[1]), 0)
+        # round-half-to-even (nearbyint, symdemod.c:217) is translation
+        # invariant only under EVEN integer shifts; keep bb_base even so
+        # buffer-relative integration edges round exactly like absolute
+        slide &= ~1
+        bb = bb[:, slide:]
+        bb_base += slide
+
+    # ---- decode: stream walk with carried lock/pos ----
+    dec = carry.dec
+    records, dec = decode_stream(soft, cfg.decode, dec)
+    records = [
+        r._replace(start_symbol=r.start_symbol + carry.soft_base) for r in records
+    ]
+    soft_base = carry.soft_base
+    if trim:
+        cut = int(dec.pos.min())
+        if cut > 0:
+            soft = soft[:, cut:]
+            dec.pos = dec.pos - cut
+            soft_base += cut
+
+    out = ChainCarry(
+        pm=pm_carry,
+        iq_rem=np.ascontiguousarray(iq_rem),
+        bb=bb,
+        bb_base=bb_base,
+        bb_total=bb_total,
+        first=first,
+        windows_done=target if nwin > 0 else carry.windows_done,
+        soft=soft,
+        soft_base=soft_base,
+        dec=dec,
+    )
+    return records, out
 
 
 def run_pipeline(iq: np.ndarray, cfg: PipelineConfig = PipelineConfig()) -> PipelineResult:

@@ -13,7 +13,17 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "collective_call_terminate" not in flags:
+    # 8 virtual device threads time-share 2 physical cores; on long
+    # sharded scans (the K=24 Viterbi: 1024 steps x 4 ppermutes) threads
+    # drift apart by more than the default 20s/40s rendezvous watchdog,
+    # which then aborts the process.  Raise both timeouts.
+    flags += (
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=1500"
+    )
+os.environ["XLA_FLAGS"] = flags
 
 import jax
 import pytest
