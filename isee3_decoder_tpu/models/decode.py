@@ -204,7 +204,7 @@ def decode_stream(
     while max_frames is None or len(records) < max_frames:
         # Sync search for unlocked channels (a frame of positions, then a
         # frame+sync of symbols past the found start must be available).
-        need = state.pos + (0 if state.lock.all() else 0) + FRAMESYMBOLS + SYNCBITS
+        need = state.pos + FRAMESYMBOLS + SYNCBITS
         if (need > S).any():
             break
         if not state.lock.all():
@@ -389,10 +389,13 @@ def _decode_frames_core(
 
     ok = ql_ok | fano_ok
     good = ql_ok | (fano_ok & verify_frame(bits))
+    # a lane whose Fano walk ran reports FANO even when it timed out —
+    # decode.c:200 sets decoder=FANO before the attempt and prints
+    # "with Fano (bad)" on failure (matches decode_stream's labels)
     decoder = jnp.where(
         ql_ok,
         DECODER_QUICKLOOK,
-        jnp.where(fano_ok, DECODER_FANO, DECODER_NONE),
+        DECODER_FANO if cfg.fano_enabled else DECODER_NONE,
     ).astype(jnp.int32)
     data = bits_to_bytes(bits)
     return data, good, decoder, ok, cycles
@@ -633,22 +636,27 @@ def decode_frames_batch(
     sync_start: np.ndarray,
     nframes: int,
     cfg: DecodeConfig = DecodeConfig(),
+    prev_lock: np.ndarray | bool = False,
 ) -> FrameRecord:
     """Throughput mode: decode ``nframes`` consecutive frames per channel
-    in ONE lockstep Fano call (+ one batched Viterbi pass over failures).
+    in ONE lockstep Fano call (+ batched Viterbi passes over failures).
 
     The frame axis joins the channel axis as a batch dimension
     (SURVEY.md §2.5 "frame-level batch Viterbi") — the TPU-native way to
-    decode a locked stream.  Policy-wise this equals the reference's
-    *persistent* hybrid mode (-p): every Fano failure falls back to
-    Viterbi, without the previous-frame gating (which is inherently
-    serial).
+    decode a locked stream.  With ``cfg.persistent`` the Viterbi fallback
+    runs on every Fano failure in one batch (-p mode).  Without it, the
+    reference's previous-frame gating (decode.c:209-214) applies: frame f
+    falls back to Viterbi only if frame f-1 of the same channel decoded —
+    a short serial pass over the frame axis, each step batched across
+    channels (Viterbi work only happens on the rare gated failures).
 
     Args:
       symbols: (B, S) soft symbols.
       sync_start: (B,) position of the sync preceding frame 0.
       nframes: frames per channel (caller guarantees
         sync_start + SYNCBITS + nframes*FRAMESYMBOLS <= S).
+      prev_lock: (B,) lock state entering frame 0 (non-persistent mode);
+        the reference starts unlocked.
 
     Returns one FrameRecord with batch axis B*nframes (channel-major:
     record row b*nframes + f is channel b's frame f).
@@ -687,9 +695,28 @@ def decode_frames_batch(
             )
 
     if cfg.viterbi_enabled:
-        viterbi_fallback_inplace(
-            data, good, decoder, decode_ok, starts, symbols, nframes, cfg
-        )
+        if cfg.persistent or not device_tiers:
+            # -p / Viterbi-only: one batch over all failures
+            viterbi_fallback_inplace(
+                data, good, decoder, decode_ok, starts, symbols, nframes, cfg
+            )
+        else:
+            # decode.c:209-214 gating: Viterbi only when the previous
+            # frame of the channel decoded.  Serial over the frame axis,
+            # batched across channels per step.
+            lock = np.broadcast_to(np.asarray(prev_lock, bool), (B,)).copy()
+            for f in range(nframes):
+                idx = np.arange(B) * nframes + f
+                need = ~decode_ok[idx] & lock
+                if need.any():
+                    sub = idx[need]
+                    fsyms = _gather_failed_lanes(starts, symbols, sub, nframes)
+                    vbits = _viterbi_decode(jnp.asarray(fsyms), cfg)
+                    data[sub] = np.asarray(bits_to_bytes(vbits))
+                    good[sub] = np.asarray(verify_frame(vbits))
+                    decoder[sub] = DECODER_VITERBI
+                    decode_ok[sub] = True
+                lock = good[idx].copy()
 
     return FrameRecord(
         data=data,

@@ -152,3 +152,43 @@ def test_fused_stream_state_checkpoint_roundtrip(tmp_path):
         axis=1,
     )
     np.testing.assert_array_equal(got, want)
+
+
+def test_checkpoint_manifest_validation(tmp_path):
+    """The versioned manifest (format 2) rejects structure/shape/dtype
+    drift instead of silently unflattening wrong state."""
+    import pytest
+
+    from isee3_decoder_tpu.utils.checkpoint import load_manifest
+
+    tree = {"a": np.arange(6, dtype=np.int32).reshape(2, 3),
+            "b": {"c": np.ones(4, np.float32)}}
+    p = tmp_path / "state.npz"
+    save_pytree(p, tree)
+
+    man = load_manifest(p)
+    assert man["format_version"] == 2
+    assert man["nleaves"] == 2
+    assert man["leaves"][0]["dtype"] == "int32"
+    assert man["leaves"][0]["shape"] == [2, 3]
+
+    # happy path round-trips
+    out = restore_pytree(p, {"a": np.zeros((2, 3), np.int32),
+                             "b": {"c": np.zeros(4, np.float32)}})
+    np.testing.assert_array_equal(out["a"], tree["a"])
+
+    # wrong shape
+    with pytest.raises(ValueError, match="shape"):
+        restore_pytree(p, {"a": np.zeros((3, 2), np.int32),
+                           "b": {"c": np.zeros(4, np.float32)}})
+    # wrong dtype
+    with pytest.raises(ValueError, match="dtype"):
+        restore_pytree(p, {"a": np.zeros((2, 3), np.int64),
+                           "b": {"c": np.zeros(4, np.float32)}})
+    # wrong structure (renamed key -> different keypath)
+    with pytest.raises(ValueError, match="path"):
+        restore_pytree(p, {"a": np.zeros((2, 3), np.int32),
+                           "z": {"c": np.zeros(4, np.float32)}})
+    # wrong leaf count
+    with pytest.raises(ValueError, match="leaves"):
+        restore_pytree(p, {"a": np.zeros((2, 3), np.int32)})

@@ -3,6 +3,7 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from isee3_decoder_tpu.models.decode import (
     DECODER_FANO,
@@ -138,6 +139,63 @@ def test_batch_shape_bounded_chunking():
         assert set(calls) <= {1, 2, 4}, f"B={B}: calls {calls}"
 
 
+def _crush(stream, ss, ch, frame, rng, sigma=30.0):
+    """Re-noise the middle of one frame so Fano times out (tail left
+    intact so later sync positions stay correlatable)."""
+    lo = int(ss[ch]) + 34 + frame * 2048 + 180
+    hi = lo + 1400
+    stream[ch, lo:hi] = np.clip(
+        rng.normal(128, sigma, hi - lo), 0, 255
+    ).astype(np.uint8)
+
+
+@pytest.mark.slow
+def test_viterbi_prev_frame_gating_on_batch_path():
+    """decode.c:209-214 previous-frame gating on the batch path
+    (VERDICT r1 #6): frame f falls back to Viterbi only when frame f-1 of
+    the same channel decoded; -p removes the gate."""
+    from isee3_decoder_tpu.models.decode import DECODER_VITERBI
+
+    rng = np.random.default_rng(17)
+    nframes = 3
+    frames, stream = _synth_streams(
+        rng, jax.random.PRNGKey(21), nframes, 2, [7, 7], 81.65, 18.0
+    )
+    ss = np.array([7 + 2048 - 34, 7 + 2048 - 34], np.int64)
+    _crush(stream, ss, 0, 1, rng)  # ch0: good, CRUSHED, good
+    _crush(stream, ss, 1, 0, rng)  # ch1: CRUSHED, good, good
+
+    cfg = DecodeConfig(quicklook=False)
+    assert not cfg.persistent
+    rec = decode_frames_batch(stream, ss, nframes, cfg)
+    dec = rec.decoder.reshape(2, nframes)
+    good = rec.good.reshape(2, nframes)
+    # ch0 frame1: previous frame decoded → Viterbi fallback ran
+    assert dec[0].tolist() == [DECODER_FANO, DECODER_VITERBI, DECODER_FANO]
+    assert good[0, 0] and good[0, 2]
+    # ch1 frame0: no previous lock → Viterbi DENIED, frame stays bad Fano
+    assert dec[1].tolist() == [DECODER_FANO, DECODER_FANO, DECODER_FANO]
+    assert not good[1, 0] and good[1, 1] and good[1, 2]
+
+    # -p persistent: the denied lane now gets its Viterbi attempt
+    rec_p = decode_frames_batch(
+        stream, ss, nframes, dataclasses_replace(cfg, persistent=True)
+    )
+    dec_p = rec_p.decoder.reshape(2, nframes)
+    assert dec_p[1, 0] == DECODER_VITERBI
+    assert dec_p[0, 1] == DECODER_VITERBI
+    # the persistent and gated runs agree wherever both ran the same
+    # decoders
+    same = rec.decoder == rec_p.decoder
+    np.testing.assert_array_equal(rec.data[same], rec_p.data[same])
+
+
+def dataclasses_replace(cfg, **kw):
+    import dataclasses
+
+    return dataclasses.replace(cfg, **kw)
+
+
 def test_fano_two_tier_matches_single_budget():
     """Two-tier Fano scheduling (low lockstep cap + full-budget re-run of
     stragglers) produces the same frames/goodness as one full-budget
@@ -150,9 +208,14 @@ def test_fano_two_tier_matches_single_budget():
     syms = testsignal.frames_to_symbols(frames)
     key = jax.random.PRNGKey(3)
     soft = np.asarray(simulate(key, jnp.asarray(syms), 81.65, 47.0))  # ~4.5 dB
+    # marginal channel: noisy enough that the walk outlives the tier-1
+    # cap on at least one frame yet still decodes within the full budget
+    soft_marginal = np.asarray(
+        simulate(jax.random.PRNGKey(13), jnp.asarray(syms), 81.65, 66.0)
+    )
     noise = rng.integers(0, 256, soft.shape[0], dtype=np.uint8)
-    stream = np.stack([soft, noise])
-    ss = np.array([2048 - 34, 0], np.int64)
+    stream = np.stack([soft, noise, soft_marginal])
+    ss = np.array([2048 - 34, 0, 2048 - 34], np.int64)
 
     cfg_tier = DecodeConfig(viterbi_enabled=False, quicklook=False)
     assert cfg_tier.fano_tier1_maxcycles is not None
@@ -167,9 +230,14 @@ def test_fano_two_tier_matches_single_budget():
     np.testing.assert_array_equal(rec_t.decoder, rec_f.decoder)
     np.testing.assert_array_equal(rec_t.fano_cycles, rec_f.fano_cycles)
     # channel 0's frames decode, channel 1 (noise) fails in both schedules
-    good2 = rec_t.good.reshape(2, nframes)
+    good2 = rec_t.good.reshape(3, nframes)
     assert good2[0].all() and not good2[1].any()
     # the straggler re-ran at the full budget: its cycle count reflects
     # the fano_maxcycles timeout, not the tier-1 cap
-    cyc2 = rec_t.fano_cycles.reshape(2, nframes)
+    cyc2 = rec_t.fano_cycles.reshape(3, nframes)
     assert (cyc2[1] >= cfg_tier.fano_maxcycles * FRAMEBITS).all()
+    # the marginal channel proves the interesting tier-2 contract: at
+    # least one frame exceeds the tier-1 cap but SUCCEEDS at full budget
+    t1_cap = cfg_tier.fano_tier1_maxcycles * FRAMEBITS
+    rescued = (cyc2[2] > t1_cap) & good2[2]
+    assert rescued.any(), f"tune noise: cycles {cyc2[2]}, good {good2[2]}"
