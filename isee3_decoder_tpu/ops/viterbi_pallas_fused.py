@@ -382,6 +382,33 @@ def cycle_b(
     )
 
 
+def _check_decision_budget(B: int, nbits: int, n: int) -> None:
+    """Fail loudly instead of wedging the backend on oversized batches.
+
+    The decision tape costs n/8 bytes per bit per frame (1 MB/bit at
+    K=24) and the post-scan (ncycles, B, w, …) → (nbits, B, …) relayout
+    transiently holds a second copy: peak ≈ 2·B·nbits·n/8 bytes.  At
+    K=24 a B=8 1024-bit decode wants ~16 GB — beyond a v5e's HBM, which
+    is what "wedged" the tunneled backend in round 1 (ROADMAP).  B=4
+    (~8 GB peak) fits.  Callers with more frames than the budget allows
+    should chunk the batch (models/decode.batch_shape_bounded does).
+    """
+    import os
+
+    # default sits between the empirically-working B=4 (peak ~8.6 GB on
+    # a 16 GB v5e) and the wedging B=8 (~17 GB)
+    budget = int(os.environ.get("ISEE3_FUSED_DEC_BYTES", str(12 * 1024**3)))
+    peak = 2 * B * nbits * (n // 8)
+    if peak > budget:
+        raise ValueError(
+            f"fused Viterbi decision memory ~{peak / 1e9:.1f} GB "
+            f"(B={B}, nbits={nbits}, {n} states) exceeds the "
+            f"{budget / 1e9:.1f} GB budget — chunk the batch (e.g. "
+            f"B<={max(budget // (2 * nbits * (n // 8)), 1)}) or raise "
+            f"ISEE3_FUSED_DEC_BYTES if the device has the HBM"
+        )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("nbits", "code", "ta", "rb", "interpret"),
@@ -398,6 +425,7 @@ def update_frame_fused(
     """nbits ACS steps via fused cycle kernels; same contract as
     viterbi_inplace.update_frame_inplace."""
     B, n = metrics0.shape
+    _check_decision_budget(B, nbits, n)
     w, rowb, colb = _geometry(code)
     if syms.ndim == 1:
         syms = syms[None, :]

@@ -102,3 +102,26 @@ def test_streaming_fused_matches_classic():
     st2 = viterbi.update_blk(st2, jnp.asarray(soft), K15)
     want = np.asarray(viterbi.streaming_decodebits(st2, delay, K15))
     np.testing.assert_array_equal(got, want)
+
+
+def test_fused_decision_budget_guard():
+    """Oversized fused-decode batches fail loudly instead of OOM-wedging
+    the backend (round-1 'B=8 wedge': 2*8*1024*1MB ≈ 16 GB > v5e HBM).
+    Small-state codes at B=8 stay under budget and pass the gate."""
+    import pytest
+
+    from isee3_decoder_tpu.config import MCQLI24
+    from isee3_decoder_tpu.ops.viterbi_pallas_fused import (
+        _check_decision_budget,
+        decode_frame_fused,
+    )
+
+    # the exact round-1 wedge shape raises before any kernel launches
+    syms = jnp.full((8, 2048), 128, jnp.uint8)
+    with pytest.raises(ValueError, match="chunk the batch"):
+        decode_frame_fused(syms, 1024, 0, 0, MCQLI24, interpret=True)
+
+    # B=4 at K=24 (the bench configuration) is within budget
+    _check_decision_budget(4, 1024, MCQLI24.nstates)
+    # small code at B=8: fine (the gate is about memory, not batch)
+    _check_decision_budget(8, 1024, 256)
