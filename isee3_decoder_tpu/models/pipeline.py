@@ -311,6 +311,11 @@ def receive_blocks_pipelined(
             iq = iq[None, :]
         buf = receive_block_device(iq, nframes, npos, cfg)  # async dispatch
         if prev is not None:
+            # start the previous buffer's D2H as soon as its program
+            # completes (it overlaps this block's compute); finish()'s
+            # np.asarray then just waits on the transfer
+            if hasattr(prev[0], "copy_to_host_async"):
+                prev[0].copy_to_host_async()
             yield finish(*prev)
         prev = (buf, iq)
     if prev is not None:

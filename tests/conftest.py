@@ -34,6 +34,16 @@ import pytest
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# Persistent on-disk compilation cache: the suite compiles hundreds of
+# programs (several big fused-chain ones); repeat runs skip nearly all
+# of that.  Orthogonal to the per-module jax.clear_caches() below,
+# which frees the in-memory executables.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(__file__)), "build", "jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 
 @pytest.fixture(autouse=True, scope="module")
 def _clear_jax_caches_per_module():

@@ -146,3 +146,41 @@ def test_receive_block_fused_chain():
             assert any(np.array_equal(data[ch, f], fr) for fr in frames), (
                 f"channel {ch} frame {f} does not match any transmitted frame"
             )
+
+
+def test_receive_blocks_pipelined_matches_receive_block():
+    """The double-buffered driver yields byte-identical results to the
+    serialized receive_block, block for block."""
+    from isee3_decoder_tpu.models.pipeline import (
+        receive_block,
+        receive_blocks_pipelined,
+    )
+
+    cfg = PipelineConfig(
+        pm=PMConfig(samprate=32768.0, binsize=32.0),
+        sym=SymConfig(samprate=32768.0, symrate=512.0, window=0.5),
+    )
+    rng = np.random.default_rng(9)
+    iqs = []
+    for i in range(3):
+        # 3 frames so a worst-case sync position still leaves a full
+        # frame+sync inside the block (decode_block's caller contract)
+        frames = testsignal.random_frames(rng, 3)
+        iq = testsignal.synthesize_iq(
+            frames, samprate=cfg.pm.samprate, symrate=cfg.sym.symrate,
+            carrier=5000.0, noise_std=900.0, lead_symbols=30, rng=rng,
+        )
+        iqs.append(testsignal.iq_to_int16(iq)[None, :])
+    # equal lengths so one compiled program serves all blocks
+    L = min(x.shape[1] for x in iqs)
+    iqs = [x[:, :L] for x in iqs]
+
+    want = [receive_block(x, 1, cfg) for x in iqs]
+    got = list(receive_blocks_pipelined(iqs, 1, cfg))
+    assert len(got) == len(want)
+    for (ra, sa), (rb, sb) in zip(got, want):
+        np.testing.assert_array_equal(sa, sb)
+        np.testing.assert_array_equal(ra.data, rb.data)
+        np.testing.assert_array_equal(ra.good, rb.good)
+        np.testing.assert_array_equal(ra.decoder, rb.decoder)
+        np.testing.assert_array_equal(ra.start_symbol, rb.start_symbol)
