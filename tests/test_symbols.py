@@ -195,3 +195,30 @@ def test_integrate_edges_exact_at_large_firstsample():
             )
         )[0]
     np.testing.assert_array_equal(got, want)
+
+
+def test_timesearch_dispersed_channels_match_gather():
+    """Channels whose firstsample spread exceeds TRACK_DELTA fall off the
+    channel-shared base-slice tier onto the per-channel-base grouped tier
+    (ops/symbols._timesearch_grouped).  That tier must pick identical
+    symphases to the elementwise-gather formulation — it reads the same
+    csum entries through per-channel dynamic slices."""
+    rng = np.random.default_rng(7)
+    B = 8
+    sc = sym.SymConfig(samprate=250_000.0, symrate=1024.545058, window=0.05)
+    nsym, noff, hc, c = sc.nsymbols, sc.noffsets, sc.halfclock, sc.symbolclocks
+    span = sym.timesearch_csum_span(hc, nsym, c, noff)
+    L = span + 4000
+    x = rng.integers(-3000, 3000, (B, L), dtype=np.int16)
+    csum = sym.prefix_sum(jnp.asarray(x))
+    # spread 0..2000 >> TRACK_DELTA=384: shared tier's ok-guard is False
+    firsts = jnp.asarray(rng.integers(noff // 2 + 1, 2000, B), jnp.int32)
+    got = sym.timesearch_from_csum(csum, firsts, hc, nsym, c, noff)
+
+    rel = sym.search_edges(hc, nsym, c)
+    es = sym._esum_gather(csum, firsts, rel, nsym, c, noff) / nsym
+    best = sym.argmax_first(es, axis=-1)
+    want_phase = np.arange(-(noff // 2), noff - noff // 2)[np.asarray(best)]
+    np.testing.assert_array_equal(np.asarray(got.symphase), want_phase)
+    want_e = np.asarray(jnp.take_along_axis(es, best[:, None], -1)[:, 0])
+    np.testing.assert_allclose(np.asarray(got.maxenergy), want_e, rtol=1e-5)
