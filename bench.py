@@ -242,14 +242,22 @@ def _measure() -> None:
     ngood, nmatched = frame_stats(rec)
 
     # Mid-SNR regime: same compiled programs (noise is a traced arg),
-    # real Fano walks + (rare) Viterbi fallbacks engage.
-    key_m = jax.random.PRNGKey(99)
-    iq_mid = to_raw(synth(frames_dev, key_m, noise_mid))
-    _ = float(iq_mid[0, 0])
-    receive_block(iq_mid, f_avail, cfg)  # warm host fallback paths
+    # real Fano walks + (rare) Viterbi fallbacks engage.  Measured with
+    # the SAME double-buffered block-stream driver as the headline, so
+    # the two regimes differ only in decode-tier work, not methodology.
+    keys_m = jax.random.split(jax.random.PRNGKey(99), npipe)
+    iqs_m = [to_raw(synth(frames_dev, k, noise_mid)) for k in keys_m]
+    _ = float(iqs_m[-1][0, 0])  # sync: synthesis off the clock
+    receive_block(iqs_m[0], f_avail, cfg)  # warm host fallback paths
     t0 = time.perf_counter()
-    rec_m, _ = receive_block(iq_mid, f_avail, cfg)
-    t_mid = time.perf_counter() - t0
+    rec_m, _ = receive_block(iqs_m[0], f_avail, cfg)
+    t_mid_serial = time.perf_counter() - t0
+    recs_m = []
+    t0 = time.perf_counter()
+    for r, _ss in receive_blocks_pipelined(iqs_m, f_avail, cfg):
+        recs_m.append(r)
+    t_mid = (time.perf_counter() - t0) / npipe
+    rec_m = recs_m[-1]
     ngood_m, nmatched_m = frame_stats(rec_m)
     chan_rt_mid = total_samples / t_mid / samprate
 
@@ -283,7 +291,8 @@ def _measure() -> None:
             "noisy": {
                 "realtime_channels": round(chan_rt_mid, 2),
                 "noise_std": noise_mid,
-                "t_chain_s": round(t_mid, 3),
+                "t_block_pipelined_s": round(t_mid, 3),
+                "t_chain_s": round(t_mid_serial, 3),
                 "frames_good": ngood_m,
                 "frames_matched": nmatched_m,
                 "frames_possible": f_avail * nchan,

@@ -222,3 +222,33 @@ def test_timesearch_dispersed_channels_match_gather():
     np.testing.assert_array_equal(np.asarray(got.symphase), want_phase)
     want_e = np.asarray(jnp.take_along_axis(es, best[:, None], -1)[:, 0])
     np.testing.assert_allclose(np.asarray(got.maxenergy), want_e, rtol=1e-5)
+
+
+def test_integrate_grouped_bitexact_vs_gather():
+    """The gather-free parity-table integrate (fast cond branch) must be
+    bit-equal to the elementwise-gather branch for every firstsample
+    parity, including odd starts where half-ties round differently."""
+    rng = np.random.default_rng(3)
+    B = 6
+    sc = sym.SymConfig(samprate=250_000.0, symrate=1024.545058, window=0.03)
+    nsym, hc, c = sc.nsymbols, sc.halfclock, sc.symbolclocks
+    plans = sym._integrate_plans(hc, nsym, c)
+    assert plans is not None, "512bps mode must admit a group plan"
+    span = plans[2]
+    L = span + 3000
+    x = rng.integers(-2000, 2000, (B, L), dtype=np.int16)
+    csum = sym.prefix_sum(jnp.asarray(x))
+    firsts = np.array([0, 1, 17, 1024, 2047, 2500], np.int32)
+    got = np.asarray(
+        sym.integrate_from_csum(csum, jnp.asarray(firsts), hc, nsym, c)
+    )
+
+    # oracle: exact integer edges + int64 walk
+    rel = sym.trial_edges(hc, nsym, c)
+    csum_np = np.asarray(csum, np.int64)
+    for b, f in enumerate(firsts):
+        edges = np.round(f + rel).astype(np.int64)
+        g = csum_np[b, edges]
+        seg = (g[1:] - g[:-1]).reshape(nsym, c, 2)
+        want = (seg[..., 1] - seg[..., 0]).sum(axis=-1)
+        np.testing.assert_array_equal(got[b], want)
