@@ -224,18 +224,15 @@ def test_timesearch_dispersed_channels_match_gather():
     np.testing.assert_allclose(np.asarray(got.maxenergy), want_e, rtol=1e-5)
 
 
-def test_integrate_grouped_bitexact_vs_gather():
-    """The gather-free parity-table integrate (fast cond branch) must be
-    bit-equal to the elementwise-gather branch for every firstsample
-    parity, including odd starts where half-ties round differently."""
+def test_integrate_edges_bitexact_vs_numpy_oracle():
+    """integrate_from_csum's exact-integer edge rounding must match an
+    independent int64 numpy walk for every firstsample parity, including
+    odd starts where nearbyint half-to-even ties round differently."""
     rng = np.random.default_rng(3)
     B = 6
     sc = sym.SymConfig(samprate=250_000.0, symrate=1024.545058, window=0.03)
     nsym, hc, c = sc.nsymbols, sc.halfclock, sc.symbolclocks
-    plans = sym._integrate_plans(hc, nsym, c)
-    assert plans is not None, "512bps mode must admit a group plan"
-    span = plans[2]
-    L = span + 3000
+    L = int(np.ceil(2 * c * nsym * hc)) + 6000
     x = rng.integers(-2000, 2000, (B, L), dtype=np.int16)
     csum = sym.prefix_sum(jnp.asarray(x))
     firsts = np.array([0, 1, 17, 1024, 2047, 2500], np.int32)
