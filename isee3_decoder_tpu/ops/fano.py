@@ -18,7 +18,9 @@ absorbed by the batch dimension instead of a single CPU core.
 
 The per-node state (cumulative metric, sorted branch metrics, branch
 index, encoder-state hypothesis) is the array-of-structs ``struct node``
-(fano.c:13-19) turned into struct-of-arrays over (batch, nbits).
+(fano.c:13-19) packed into ONE interleaved stride-4 int32 array per
+batch row, so each micro-step costs exactly one gather and one scatter
+call (per-row indexed ops have a high fixed cost on the TPU runtime).
 """
 
 from __future__ import annotations
@@ -75,8 +77,9 @@ class FanoParams:
     delta: int = 32  # threshold step (Fano_delta = 4 * Fano_scale)
     maxcycles: int = 100  # forward-looks per bit before giving up
     # micro-steps per while_loop iteration: purely a performance knob
-    # (identical walk); amortizes the per-iteration dispatch overhead,
-    # which dominates on the tunneled TPU runtime (~120 us/iteration)
+    # (identical walk).  Sweeps on v5e (scripts/tpu_fano_unroll_probe.py)
+    # show wall time flat for 4..32 — the walk is body-bound, not
+    # dispatch-bound — so 8 just keeps the cond-check overhead small.
     unroll: int = 8
 
 
@@ -149,21 +152,32 @@ def fano_decode(
         return tm0, tm1, better1.astype(jnp.int32)
 
     # ----- root node setup (fano.c:81-107) -----
-    enc0 = start_enc << 1
+    # The encoder-state hypothesis only matters mod 2^k: _makesyms masks
+    # with the k-bit polynomials, branch toggles flip bit 0, and the
+    # decoded output reads bit 0 per node.  Masking lets the 1-bit
+    # branch index (ibr, always 0 or 1 — fano.c:182-186 increments only
+    # from 0) pack into bit k of the same word.
+    assert k + 1 < 31, "encoder+ibr packing needs k+1 int32 bits"
+    encmask = jnp.int32((1 << k) - 1)
+    enc0 = (start_enc << 1) & encmask
     lsym0 = _makesyms(enc0, code)
     tm0_r, tm1_r, bit_r = sort_branches(metrics4[:, 0], lsym0)
 
-    # Node state carries one trailing DUMP slot (index N / 2N) so
-    # masked-off lanes scatter there unconditionally — updates need no
-    # read-modify-write, halving the gather count of the loop body.
-    # tm pairs are flattened to (B, 2N+2) so both branch metrics write
-    # in ONE scatter at adjacent columns.
-    gamma = jnp.zeros((B, N + 1), jnp.int32)
-    tmf = jnp.zeros((B, 2 * N + 2), jnp.int32)
-    tmf = tmf.at[:, 0].set(tm0_r).at[:, 1].set(tm1_r)
-    enc = jnp.zeros((B, N + 1), jnp.int32)
-    enc = enc.at[:, 0].set(enc0 | bit_r)
-    ibr = jnp.zeros((B, N + 1), jnp.int32)
+    # ALL per-node walk state lives in ONE stride-4 array S:
+    #   S[:, 4i+0] = gamma_i   cumulative path metric
+    #   S[:, 4i+1] = tm0_i     best branch metric
+    #   S[:, 4i+2] = tm1_i     second branch metric
+    #   S[:, 4i+3] = (ibr_i << k) | enc_i
+    # plus one trailing DUMP node (index N) so masked-off lanes scatter
+    # there unconditionally — no read-modify-write.  The packing matters
+    # because on this runtime each per-row gather/scatter CALL costs
+    # ~10us regardless of width: one 6-wide gather + one 4-wide scatter
+    # replace the five gathers + four scatters of the unpacked layout
+    # (unroll-factor sweeps show the walk is body-bound, so call count
+    # is the whole game — scripts/tpu_fano_unroll_probe.py).
+    S = jnp.zeros((B, 4 * N + 4), jnp.int32)
+    S = S.at[:, 1].set(tm0_r).at[:, 2].set(tm1_r)
+    S = S.at[:, 3].set(enc0 | bit_r)
     m4f = metrics4.reshape(B, 4 * N)
     arange4 = jnp.arange(4, dtype=jnp.int32)
 
@@ -180,10 +194,7 @@ def fano_decode(
         cycles: jax.Array
         mode: jax.Array  # 0 = forward look, 1 = backtracking
         done: jax.Array
-        gamma: jax.Array
-        tmf: jax.Array
-        enc: jax.Array
-        ibr: jax.Array
+        S: jax.Array  # (B, 4N+4) packed per-node walk state
 
     init = Carry(
         np_idx=jnp.zeros((B,), jnp.int32),
@@ -195,10 +206,7 @@ def fano_decode(
             if skip is None
             else jnp.broadcast_to(jnp.asarray(skip, bool), (B,))
         ),
-        gamma=gamma,
-        tmf=tmf,
-        enc=enc,
-        ibr=ibr,
+        S=S,
     )
 
     def cond(c: Carry):
@@ -211,17 +219,18 @@ def fano_decode(
 
         back_np = np_idx - 1
         back_np_c = jnp.maximum(back_np, 0)
-        # paired gathers: (node-1, node) for each state array
-        pair = jnp.stack([back_np_c, np_idx], axis=1)
-        g_pair = jnp.take_along_axis(c.gamma, pair, axis=1)
-        g_prev, g_np = g_pair[:, 0], g_pair[:, 1]
-        ibr_pair = jnp.take_along_axis(c.ibr, pair, axis=1)
-        back_ibr, cur_ibr = ibr_pair[:, 0], ibr_pair[:, 1]
-        enc_pair = jnp.take_along_axis(c.enc, pair, axis=1)
-        enc_back, prev_enc = enc_pair[:, 0], enc_pair[:, 1]
-        tm_np = jnp.take_along_axis(
-            c.tmf, (2 * np_idx + cur_ibr)[:, None], axis=1
-        )[:, 0]
+        # ONE 6-wide gather covers both nodes' packed state (tm0 AND tm1
+        # are both fetched so the branch select needs no second pass)
+        b4, n4 = 4 * back_np_c, 4 * np_idx
+        gidx = jnp.stack([b4, b4 + 3, n4, n4 + 1, n4 + 2, n4 + 3], axis=1)
+        g6 = jnp.take_along_axis(c.S, gidx, axis=1)
+        g_prev = g6[:, 0]
+        e_back = g6[:, 1]
+        g_np = g6[:, 2]
+        e_np = g6[:, 5]
+        enc_back, back_ibr = e_back & encmask, e_back >> k
+        prev_enc, cur_ibr = e_np & encmask, e_np >> k
+        tm_np = jnp.where(cur_ibr == 0, g6[:, 3], g6[:, 4])
 
         # ---------- forward look (fano.c:117-166) ----------
         ngamma = g_np + tm_np
@@ -236,7 +245,7 @@ def fano_decode(
         advance = fwd & ok & ~at_last
 
         new_np = np_idx + 1
-        adv_enc = prev_enc << 1
+        adv_enc = (prev_enc << 1) & encmask
         lsym = _makesyms(adv_enc, code)
         m4 = jnp.take_along_axis(
             m4f,
@@ -292,15 +301,11 @@ def fano_decode(
         timeout = ~done_next & (cycles_next >= max_total) & (mode_next == 0)
         done_next = done_next | timeout
 
-        # one dump-slot scatter per state array
-        gamma_next = c.gamma.at[bidx, jnp.where(advance, new_np, N)].set(ngamma)
-        tm_idx0 = jnp.where(advance, 2 * new_np, 2 * N)
-        tmf_next = c.tmf.at[
-            bidx[:, None], jnp.stack([tm_idx0, tm_idx0 + 1], axis=1)
-        ].set(jnp.stack([adv_tm0, adv_tm1], axis=1))
-
-        # advance / toggle_next / relax_flip are mutually exclusive, so
-        # the three ibr and three enc updates fold into ONE scatter each
+        # ONE 4-wide scatter: gamma/tm0/tm1 land at the advanced node
+        # (or its dump slot), and — since advance / toggle_next /
+        # relax_flip are mutually exclusive — the three enc+ibr updates
+        # fold into the fourth lane (or ITS dump slot).  The four
+        # indices are always distinct within a row.
         upd_mask = advance | toggle_next | relax_flip
         upd_idx = jnp.where(
             upd_mask,
@@ -313,8 +318,12 @@ def fano_decode(
             adv_enc | adv_bit,
             jnp.where(toggle_next, enc_back ^ 1, prev_enc ^ 1),
         )
-        ibr_next = c.ibr.at[bidx, upd_idx].set(ibr_val)
-        enc_next = c.enc.at[bidx, upd_idx].set(enc_val)
+        w4 = jnp.where(advance, 4 * new_np, 4 * N)
+        sidx = jnp.stack([w4, w4 + 1, w4 + 2, 4 * upd_idx + 3], axis=1)
+        svals = jnp.stack(
+            [ngamma, adv_tm0, adv_tm1, (ibr_val << k) | enc_val], axis=1
+        )
+        S_next = c.S.at[bidx[:, None], sidx].set(svals)
 
         return Carry(
             np_idx=np_next,
@@ -322,10 +331,7 @@ def fano_decode(
             cycles=cycles_next,
             mode=mode_next,
             done=done_next,
-            gamma=gamma_next,
-            tmf=tmf_next,
-            enc=enc_next,
-            ibr=ibr_next,
+            S=S_next,
         )
 
     def body_unrolled(c: Carry) -> Carry:
@@ -335,7 +341,7 @@ def fano_decode(
 
     final = jax.lax.while_loop(cond, body_unrolled, init)
 
-    bits = (final.enc[:, :N] & 1).astype(jnp.uint8)
+    bits = (final.S[:, 3 : 4 * N : 4] & 1).astype(jnp.uint8)
     goodbits = final.np_idx + 1
     # Partial-decode convention of fano.c:193-202 as used by decode.c:201:
     # only the first goodbits/8 FULL bytes of the path are copied out; the
@@ -343,5 +349,7 @@ def fano_decode(
     # that boundary so failed frames print exactly like the reference's.
     valid = jnp.arange(N, dtype=jnp.int32)[None, :] < ((goodbits // 8) * 8)[:, None]
     bits = jnp.where(valid, bits, 0).astype(jnp.uint8)
-    metric = final.gamma[bidx, final.np_idx]
+    metric = jnp.take_along_axis(
+        final.S, (4 * final.np_idx)[:, None], axis=1
+    )[:, 0]
     return FanoResult(bits=bits, goodbits=goodbits, metric=metric, cycles=final.cycles)
