@@ -495,10 +495,24 @@ def _mettab_device(cfg: DecodeConfig) -> jax.Array:
 
 
 def _gather_failed_lanes(
-    starts: np.ndarray, symbols: np.ndarray, sub: np.ndarray, nframes: int
+    starts: np.ndarray, symbols, sub: np.ndarray, nframes: int
 ) -> np.ndarray:
-    """Frame-symbol windows for the failed-lane subset ``sub``."""
+    """Frame-symbol windows for the failed-lane subset ``sub``.
+
+    ``symbols`` may be a host ndarray or a device-resident jax.Array —
+    the latter gathers on device and fetches only the sub×FRAMESYMBOLS
+    windows (receive_block keeps the fused chain's soft symbols on
+    device so a tier-2 re-run never re-demodulates or fetches the whole
+    stream)."""
     idx = starts.reshape(-1)[sub, None] + np.arange(FRAMESYMBOLS)[None, :]
+    if isinstance(symbols, jax.Array):
+        return np.asarray(
+            jnp.take_along_axis(
+                symbols[jnp.asarray(sub // nframes)],
+                jnp.asarray(idx, jnp.int32),
+                axis=-1,
+            )
+        )
     return np.take_along_axis(symbols[sub // nframes], idx, axis=-1)
 
 

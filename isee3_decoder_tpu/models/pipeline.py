@@ -50,6 +50,13 @@ class PipelineConfig:
     #: forces the classic path; "pallas_interpret" forces the kernel in
     #: interpreter mode (CPU equivalence tests).
     csum_backend: str = "auto"
+    #: pm time-loop form: "auto" scans the per-block locked kernel and
+    #: feeds the separate one-pass csum kernel — measured FASTER on v5e
+    #: than the single-dispatch whole-scan kernel (0.044 vs 0.051 s for
+    #: 16 blocks × 128 ch, scripts/tpu_chain_breakdown.py) despite the
+    #: extra baseband HBM round trip; "fused_scan" forces the
+    #: one-dispatch pm_demod_scan_csum kernel (kept for comparison).
+    pm_backend: str = "auto"
 
 
 class PipelineResult(NamedTuple):
@@ -98,6 +105,7 @@ def demod_to_symbols(
     raw_in = not jnp.issubdtype(iq.dtype, jnp.complexfloating)
     if (
         raw_in
+        and cfg.pm_backend == "fused_scan"
         and cfg.csum_backend != "jnp"
         and nwindows >= 1
         and _scan_fused_capable(cfg.pm, B, n, nblocks)
@@ -218,6 +226,25 @@ def receive_block_device(
     return decode_block_device(soft, nframes, npos, cfg.decode)
 
 
+@functools.partial(jax.jit, static_argnames=("nframes", "npos", "cfg"))
+def receive_block_device_soft(
+    iq: jax.Array,
+    nframes: int,
+    npos: int,
+    cfg: PipelineConfig = PipelineConfig(),
+) -> tuple[jax.Array, jax.Array]:
+    """receive_block_device plus the (device-resident) soft symbols.
+
+    Same single fused program — the soft stream is computed anyway; the
+    extra output is one small HBM write and NO extra fetch.  The host
+    wrappers keep it on device so the (rare) tier-2 Fano / Viterbi
+    fallback can gather just the failed lanes' frame windows instead of
+    re-running the whole demod (which used to double the block cost
+    whenever any lane timed out at tier 1)."""
+    soft, _, _, _ = demod_to_symbols(iq, cfg)
+    return decode_block_device(soft, nframes, npos, cfg.decode), soft
+
+
 def receive_block(
     iq,
     nframes: int,
@@ -238,18 +265,17 @@ def receive_block(
     B = iq.shape[0]
     if npos is None:
         npos = FRAMESYMBOLS
-    buf = np.asarray(receive_block_device(iq, nframes, npos, cfg))
+    buf_dev, soft_dev = receive_block_device_soft(iq, nframes, npos, cfg)
+    buf = np.asarray(buf_dev)
     data, good, decoder, ok, cycles, ss = unpack_block_buffer(buf, B, nframes)
     starts = ss[:, None] + SYNCBITS + FRAMESYMBOLS * np.arange(nframes)[None, :]
     if (~ok).any():
-        soft, _, _, _ = demod_to_symbols(iq, cfg)
-        soft_np = np.asarray(soft)
         fano_tier2_inplace(
-            data, good, decoder, ok, cycles, starts, soft_np, nframes,
+            data, good, decoder, ok, cycles, starts, soft_dev, nframes,
             cfg.decode,
         )
         viterbi_fallback_inplace(
-            data, good, decoder, ok, starts, soft_np, nframes, cfg.decode
+            data, good, decoder, ok, starts, soft_dev, nframes, cfg.decode
         )
     rec = FrameRecord(
         data=data,
@@ -283,20 +309,17 @@ def receive_blocks_pipelined(
     if npos is None:
         npos = FRAMESYMBOLS
 
-    def finish(buf_dev, iq_dev):
-        B = iq_dev.shape[0]
+    def finish(buf_dev, soft_dev, B):
         buf = np.asarray(buf_dev)
         data, good, decoder, ok, cycles, ss = unpack_block_buffer(buf, B, nframes)
         starts = ss[:, None] + SYNCBITS + FRAMESYMBOLS * np.arange(nframes)[None, :]
         if (~ok).any():
-            soft, _, _, _ = demod_to_symbols(iq_dev, cfg)
-            soft_np = np.asarray(soft)
             fano_tier2_inplace(
-                data, good, decoder, ok, cycles, starts, soft_np, nframes,
+                data, good, decoder, ok, cycles, starts, soft_dev, nframes,
                 cfg.decode,
             )
             viterbi_fallback_inplace(
-                data, good, decoder, ok, starts, soft_np, nframes, cfg.decode
+                data, good, decoder, ok, starts, soft_dev, nframes, cfg.decode
             )
         rec = FrameRecord(
             data=data, good=good, decoder=decoder,
@@ -309,7 +332,8 @@ def receive_blocks_pipelined(
         iq = jnp.asarray(iq)
         if iq.ndim == 1:
             iq = iq[None, :]
-        buf = receive_block_device(iq, nframes, npos, cfg)  # async dispatch
+        # async dispatch; soft stays device-resident for the fallback tiers
+        buf, soft = receive_block_device_soft(iq, nframes, npos, cfg)
         if prev is not None:
             # start the previous buffer's D2H as soon as its program
             # completes (it overlaps this block's compute); finish()'s
@@ -317,7 +341,7 @@ def receive_blocks_pipelined(
             if hasattr(prev[0], "copy_to_host_async"):
                 prev[0].copy_to_host_async()
             yield finish(*prev)
-        prev = (buf, iq)
+        prev = (buf, soft, iq.shape[0])
     if prev is not None:
         yield finish(*prev)
 
