@@ -153,11 +153,14 @@ def _spin_kernel(x_ref, c_ref, bb_ref, stat_ref, *, flip, samprate):
     """One-read spin-down: five-moment C/N0 + rotate + int16 emission
     over a VMEM-resident (BT, n) packed-int16 tile.
 
-    Two passes over the tile (unpack+mix recomputed — VPU compute is
-    free, HBM is not): pass 1 accumulates the spun-signal moments that
-    give the carrier DC phasor and noise variance (pmdemod.c:328-351);
-    pass 2 rotates the carrier onto the I axis and emits the Q (data)
-    axis scaled by √½ as int16 (pmdemod.c:360-368).  Same expressions as
+    Pass 1 unpacks + mixes once and accumulates the spun-signal moments
+    that give the carrier DC phasor and noise variance
+    (pmdemod.c:328-351); the spun chunks are kept live as VMEM
+    temporaries (2×2 MB at n=65536) and pass 2 reuses them to rotate
+    the carrier onto the I axis and emit the Q (data) axis scaled by √½
+    as int16 (pmdemod.c:360-368) — the kernel is
+    VPU-transcendental-bound, so computing the per-sample cos/sin once
+    instead of once per pass is the win.  Same expressions as
     carrier._moments_cn0 / spin_down up to sum-order.
     """
     n = x_ref.shape[1]
@@ -183,8 +186,10 @@ def _spin_kernel(x_ref, c_ref, bb_ref, stat_ref, *, flip, samprate):
 
     z = jnp.zeros((_BT, _CH), jnp.float32)
     a_r, a_i, a_rr, a_ii, a_ri = z, z, z, z, z
+    spun = []
     for k in range(nk):
         sr, si = spun_chunk(k)
+        spun.append((sr, si))
         a_r = a_r + sr
         a_i = a_i + si
         a_rr = a_rr + sr * sr
@@ -210,8 +215,7 @@ def _spin_kernel(x_ref, c_ref, bb_ref, stat_ref, *, flip, samprate):
     ui = jnp.where(amp > 0, -m_i / safe_amp, 0.0)
 
     scale = np.float32(np.sqrt(0.5))
-    for k in range(nk):
-        sr, si = spun_chunk(k)
+    for k, (sr, si) in enumerate(spun):
         rot_i = sr * ui + si * ur  # imag(spun · unit)
         bb_ref[:, k * _CH : (k + 1) * _CH] = jnp.trunc(rot_i * scale).astype(
             jnp.int16
@@ -608,9 +612,12 @@ def _locked_kernel(
     """Whole locked-path pm block in one HBM read: windowed DFT search →
     masked peak + Quinn → spin-down moments → rotate + int16 emission.
 
-    The (BT, n) packed tile stays in VMEM across all three passes; the
-    unpack+mix is recomputed per pass (VPU compute is free next to the
-    HBM stream this kernel eliminates).  Math matches
+    The (BT, n) packed tile stays in VMEM across all three passes.  The
+    spun (mixed-down) samples are computed once in the moments pass and
+    kept live as VMEM temporaries (2×2 MB at n=65536) so the emission
+    pass skips the second unpack + per-sample cos/sin — the spin half
+    of the kernel is VPU-transcendental-bound, not HBM-bound, so
+    computing the trig once is the win.  Math matches
     carrier.find_carrier_windowed → _windowed_peak_from_s → spin_down's
     f32 branch (pmdemod.c:246-368) up to f32 sum order.
     """
@@ -694,8 +701,10 @@ def _locked_kernel(
 
     z = jnp.zeros((_BT, _CH), jnp.float32)
     a_r, a_i, a_rr, a_ii, a_ri = z, z, z, z, z
+    spun = []
     for k in range(nk):
         sr, si = spun_chunk(k)
+        spun.append((sr, si))
         a_r = a_r + sr
         a_i = a_i + si
         a_rr = a_rr + sr * sr
@@ -719,8 +728,7 @@ def _locked_kernel(
     ui = jnp.where(amp > 0, -m_i / safe_amp, 0.0)
 
     scale = np.float32(np.sqrt(0.5))
-    for k in range(nk):
-        sr, si = spun_chunk(k)
+    for k, (sr, si) in enumerate(spun):
         rot_i = sr * ui + si * ur
         bb_ref[:, k * _CH : (k + 1) * _CH] = jnp.trunc(rot_i * scale).astype(
             jnp.int16
