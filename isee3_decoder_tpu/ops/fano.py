@@ -18,9 +18,11 @@ absorbed by the batch dimension instead of a single CPU core.
 
 The per-node state (cumulative metric, sorted branch metrics, branch
 index, encoder-state hypothesis) is the array-of-structs ``struct node``
-(fano.c:13-19) packed into ONE interleaved stride-4 int32 array per
-batch row, so each micro-step costs exactly one gather and one scatter
-call (per-row indexed ops have a high fixed cost on the TPU runtime).
+(fano.c:13-19) packed into ONE interleaved stride-8 int32 array per
+batch row with the static 4-way branch metrics in the other half of
+each record, so each micro-step costs exactly one (10-wide) gather and
+one (4-wide) scatter call (per-row indexed ops have a high fixed cost
+on the TPU runtime regardless of width).
 """
 
 from __future__ import annotations
@@ -163,23 +165,30 @@ def fano_decode(
     lsym0 = _makesyms(enc0, code)
     tm0_r, tm1_r, bit_r = sort_branches(metrics4[:, 0], lsym0)
 
-    # ALL per-node walk state lives in ONE stride-4 array S:
-    #   S[:, 4i+0] = gamma_i   cumulative path metric
-    #   S[:, 4i+1] = tm0_i     best branch metric
-    #   S[:, 4i+2] = tm1_i     second branch metric
-    #   S[:, 4i+3] = (ibr_i << k) | enc_i
+    # ALL per-node walk state lives in ONE stride-8 array S, with the
+    # STATIC 4-way branch metrics interleaved alongside the dynamic
+    # fields:
+    #   S[:, 8i+0] = gamma_i   cumulative path metric
+    #   S[:, 8i+1] = tm0_i     best branch metric
+    #   S[:, 8i+2] = tm1_i     second branch metric
+    #   S[:, 8i+3] = (ibr_i << k) | enc_i
+    #   S[:, 8i+4..7] = metrics4[i]  (never written by the walk)
     # plus one trailing DUMP node (index N) so masked-off lanes scatter
     # there unconditionally — no read-modify-write.  The packing matters
     # because on this runtime each per-row gather/scatter CALL costs
-    # ~10us regardless of width: one 6-wide gather + one 4-wide scatter
-    # replace the five gathers + four scatters of the unpacked layout
-    # (unroll-factor sweeps show the walk is body-bound, so call count
-    # is the whole game — scripts/tpu_fano_unroll_probe.py).
-    S = jnp.zeros((B, 4 * N + 4), jnp.int32)
-    S = S.at[:, 1].set(tm0_r).at[:, 2].set(tm1_r)
-    S = S.at[:, 3].set(enc0 | bit_r)
-    m4f = metrics4.reshape(B, 4 * N)
-    arange4 = jnp.arange(4, dtype=jnp.int32)
+    # ~10us regardless of width: interleaving the metrics lets ONE
+    # 10-wide gather fetch both nodes' walk state AND the next node's
+    # branch metrics, where the stride-4 layout needed a second 4-wide
+    # gather per micro-step (unroll-factor sweeps show the walk is
+    # body-bound, so call count is the whole game —
+    # scripts/tpu_fano_unroll_probe.py).
+    s4 = jnp.zeros((B, N + 1, 4), jnp.int32)
+    s4 = s4.at[:, 0, 1].set(tm0_r).at[:, 0, 2].set(tm1_r)
+    s4 = s4.at[:, 0, 3].set(enc0 | bit_r)
+    m4pad = jnp.concatenate(
+        [metrics4.astype(jnp.int32), jnp.zeros((B, 1, 4), jnp.int32)], axis=1
+    )
+    S = jnp.concatenate([s4, m4pad], axis=-1).reshape(B, 8 * N + 8)
 
     def sel4(m4, s):
         """m4[b, s[b]] for s in {0..3} via selects — per-row gathers
@@ -219,18 +228,24 @@ def fano_decode(
 
         back_np = np_idx - 1
         back_np_c = jnp.maximum(back_np, 0)
-        # ONE 6-wide gather covers both nodes' packed state (tm0 AND tm1
-        # are both fetched so the branch select needs no second pass)
-        b4, n4 = 4 * back_np_c, 4 * np_idx
-        gidx = jnp.stack([b4, b4 + 3, n4, n4 + 1, n4 + 2, n4 + 3], axis=1)
-        g6 = jnp.take_along_axis(c.S, gidx, axis=1)
-        g_prev = g6[:, 0]
-        e_back = g6[:, 1]
-        g_np = g6[:, 2]
-        e_np = g6[:, 5]
+        # ONE 10-wide gather covers both nodes' packed walk state (tm0
+        # AND tm1 are both fetched so the branch select needs no second
+        # pass) plus the next node's interleaved branch metrics
+        b8, n8 = 8 * back_np_c, 8 * np_idx
+        m8 = 8 * jnp.clip(np_idx + 1, 0, N - 1) + 4
+        gidx = jnp.stack(
+            [b8, b8 + 3, n8, n8 + 1, n8 + 2, n8 + 3,
+             m8, m8 + 1, m8 + 2, m8 + 3],
+            axis=1,
+        )
+        g10 = jnp.take_along_axis(c.S, gidx, axis=1)
+        g_prev = g10[:, 0]
+        e_back = g10[:, 1]
+        g_np = g10[:, 2]
+        e_np = g10[:, 5]
         enc_back, back_ibr = e_back & encmask, e_back >> k
         prev_enc, cur_ibr = e_np & encmask, e_np >> k
-        tm_np = jnp.where(cur_ibr == 0, g6[:, 3], g6[:, 4])
+        tm_np = jnp.where(cur_ibr == 0, g10[:, 3], g10[:, 4])
 
         # ---------- forward look (fano.c:117-166) ----------
         ngamma = g_np + tm_np
@@ -247,11 +262,7 @@ def fano_decode(
         new_np = np_idx + 1
         adv_enc = (prev_enc << 1) & encmask
         lsym = _makesyms(adv_enc, code)
-        m4 = jnp.take_along_axis(
-            m4f,
-            (4 * jnp.clip(new_np, 0, N - 1))[:, None] + arange4[None, :],
-            axis=1,
-        )  # (B, 4) — one contiguous 4-wide gather
+        m4 = g10[:, 6:10]  # next node's metrics, from the same gather
 
         # tail zone (fano.c:141-147)
         in_tail = new_np >= tail_start
@@ -305,7 +316,9 @@ def fano_decode(
         # (or its dump slot), and — since advance / toggle_next /
         # relax_flip are mutually exclusive — the three enc+ibr updates
         # fold into the fourth lane (or ITS dump slot).  The four
-        # indices are always distinct within a row.
+        # indices are always distinct within a row, and only fields
+        # 0..3 of a node's stride-8 record are ever written (the
+        # interleaved metrics at 8i+4..7 stay static).
         upd_mask = advance | toggle_next | relax_flip
         upd_idx = jnp.where(
             upd_mask,
@@ -318,8 +331,8 @@ def fano_decode(
             adv_enc | adv_bit,
             jnp.where(toggle_next, enc_back ^ 1, prev_enc ^ 1),
         )
-        w4 = jnp.where(advance, 4 * new_np, 4 * N)
-        sidx = jnp.stack([w4, w4 + 1, w4 + 2, 4 * upd_idx + 3], axis=1)
+        w8 = jnp.where(advance, 8 * new_np, 8 * N)
+        sidx = jnp.stack([w8, w8 + 1, w8 + 2, 8 * upd_idx + 3], axis=1)
         svals = jnp.stack(
             [ngamma, adv_tm0, adv_tm1, (ibr_val << k) | enc_val], axis=1
         )
@@ -341,7 +354,7 @@ def fano_decode(
 
     final = jax.lax.while_loop(cond, body_unrolled, init)
 
-    bits = (final.S[:, 3 : 4 * N : 4] & 1).astype(jnp.uint8)
+    bits = (final.S[:, 3 : 8 * N : 8] & 1).astype(jnp.uint8)
     goodbits = final.np_idx + 1
     # Partial-decode convention of fano.c:193-202 as used by decode.c:201:
     # only the first goodbits/8 FULL bytes of the path are copied out; the
@@ -350,6 +363,6 @@ def fano_decode(
     valid = jnp.arange(N, dtype=jnp.int32)[None, :] < ((goodbits // 8) * 8)[:, None]
     bits = jnp.where(valid, bits, 0).astype(jnp.uint8)
     metric = jnp.take_along_axis(
-        final.S, (4 * final.np_idx)[:, None], axis=1
+        final.S, (8 * final.np_idx)[:, None], axis=1
     )[:, 0]
     return FanoResult(bits=bits, goodbits=goodbits, metric=metric, cycles=final.cycles)
