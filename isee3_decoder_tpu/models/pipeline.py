@@ -292,18 +292,23 @@ def receive_blocks_pipelined(
     nframes: int,
     cfg: PipelineConfig = PipelineConfig(),
     npos: int | None = None,
+    depth: int = 2,
 ):
-    """Double-buffered receive chain driver (VERDICT r1 #5).
+    """Pipelined receive chain driver (VERDICT r1 #5).
 
-    Generator over an iterable of (B, L) IQ blocks.  Block k+1's fused
-    device program is DISPATCHED (async) before block k's packed result
-    buffer is fetched, so the host↔device transfer of one block overlaps
-    the device compute of the next — on the tunneled TPU runtime the
-    fetch was ~half the serialized chain time (BENCH_r01: t_fetch 0.067 s
-    of t_chain 0.137 s).
+    Generator over an iterable of (B, L) IQ blocks.  Up to ``depth``
+    blocks' fused device programs are DISPATCHED (async) ahead of the
+    oldest block's packed-result fetch, so the host↔device round trip of
+    one block overlaps the device compute of the following ones.  On the
+    tunneled TPU runtime a dispatch + scalar readback costs ~26 ms of
+    pure latency (scripts/tpu_decode_breakdown.py floor measurement), so
+    depth 2 hides both the fetch AND most of the per-block host loop,
+    not just the transfer (depth 1 = the round-2 double buffering).
 
     Yields (FrameRecord, sync_start) per block, in order.
     """
+    from collections import deque
+
     from isee3_decoder_tpu.config import FRAMESYMBOLS, SYNCBITS
 
     if npos is None:
@@ -327,23 +332,23 @@ def receive_blocks_pipelined(
         )
         return rec, ss
 
-    prev = None
+    pending: deque = deque()
     for iq in iq_blocks:
         iq = jnp.asarray(iq)
         if iq.ndim == 1:
             iq = iq[None, :]
         # async dispatch; soft stays device-resident for the fallback tiers
         buf, soft = receive_block_device_soft(iq, nframes, npos, cfg)
-        if prev is not None:
-            # start the previous buffer's D2H as soon as its program
-            # completes (it overlaps this block's compute); finish()'s
-            # np.asarray then just waits on the transfer
-            if hasattr(prev[0], "copy_to_host_async"):
-                prev[0].copy_to_host_async()
-            yield finish(*prev)
-        prev = (buf, soft, iq.shape[0])
-    if prev is not None:
-        yield finish(*prev)
+        # start the D2H as soon as the program completes — it overlaps
+        # the younger blocks' compute; finish()'s np.asarray then just
+        # waits on the transfer
+        if hasattr(buf, "copy_to_host_async"):
+            buf.copy_to_host_async()
+        pending.append((buf, soft, iq.shape[0]))
+        if len(pending) > max(depth, 1):
+            yield finish(*pending.popleft())
+    while pending:
+        yield finish(*pending.popleft())
 
 
 class ChainCarry(NamedTuple):

@@ -437,8 +437,10 @@ def _scan_kernel(
 
         z = jnp.zeros((_BT, _CH), jnp.float32)
         a_r, a_i, a_rr, a_ii, a_ri = z, z, z, z, z
+        spun = []
         for k in range(nk):
             sr, si = spun_chunk(k)
+            spun.append((sr, si))
             a_r = a_r + sr
             a_i = a_i + si
             a_rr = a_rr + sr * sr
@@ -464,8 +466,7 @@ def _scan_kernel(
         ui = jnp.where(amp > 0, -m_i / safe_amp, 0.0)
 
         scale = np.float32(np.sqrt(0.5))
-        for k in range(nk):
-            sr, si = spun_chunk(k)
+        for k, (sr, si) in enumerate(spun):
             rot_i = sr * ui + si * ur
             bb_s[:, k * _CH : (k + 1) * _CH] = jnp.trunc(
                 rot_i * scale

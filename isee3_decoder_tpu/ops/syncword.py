@@ -48,12 +48,18 @@ def sync_correlate(
     """
     if symbols.ndim == 1:
         symbols = symbols[None, :]
-    taps = jnp.asarray(sync_taps(code))
+    taps = sync_taps(code)  # host-side ±1 — signs bake into adds/subs
     s = symbols.astype(jnp.int32) - 128
-    # Gather windows: (B, npos, SYNCBITS) — small (2048×34), fine as one op
-    idx = jnp.arange(npos)[:, None] + jnp.arange(SYNCBITS)[None, :]
-    windows = s[:, idx]  # (B, npos, SYNCBITS)
-    return (windows * taps).sum(axis=-1)
+    # SYNCBITS static shifted adds instead of a (B, npos, SYNCBITS)
+    # window gather: TPU gathers pay per element, while the overlapping
+    # static slices fuse into one streaming pass (measured 0.025 s ->
+    # <0.002 s at 128 ch x 2048 positions on v5e).
+    acc = None
+    for k in range(SYNCBITS):
+        sl = jax.lax.slice_in_dim(s, k, k + npos, axis=1)
+        term = sl if taps[k] > 0 else -sl
+        acc = term if acc is None else acc + term
+    return acc
 
 
 @functools.partial(jax.jit, static_argnames=("npos", "code"))

@@ -1,0 +1,112 @@
+"""Split the tracked timesearch window cost: base dynamic_slice copy vs
+grouped esum compute vs integrate, at bench shapes (128 ch).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from isee3_decoder_tpu.ops import symbols as sym_ops
+    from isee3_decoder_tpu.ops.symbols import SymConfig
+
+    B = int(os.environ.get("PROF_NCHAN", "128"))
+    cfg = SymConfig(samprate=250_000.0, symrate=1024.0)
+    hc, ns, sc, no = (
+        cfg.halfclock, cfg.nsymbols, cfg.symbolclocks, cfg.noffsets
+    )
+    rel = sym_ops.search_edges(hc, ns, sc)
+    groups = sym_ops._symbol_group_plan(rel, no, sc)
+    W = no + sym_ops.TRACK_DELTA
+    span_w = sym_ops._grouped_span(groups, rel, ns, sc, W)
+    L = span_w + 4096
+    print(json.dumps({"span_w": span_w, "ngroups": len(groups), "W": W}))
+
+    rng = np.random.default_rng(0)
+    csum = jnp.asarray(
+        np.cumsum(rng.integers(-100, 100, (B, L)), axis=1, dtype=np.int32)
+    )
+    first = jnp.full((B,), 300, jnp.int32)
+
+    def bench(name, fn, *args, reps=3):
+        out = fn(*args)
+        float(jnp.asarray(out).reshape(-1)[0])
+        best = 1e9
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(jnp.asarray(fn(*args)).reshape(-1)[0])
+            best = min(best, time.perf_counter() - t0)
+        print(json.dumps({"op": name, "wall_s": round(best, 4)}), flush=True)
+
+    R = int(os.environ.get("PROF_REPS", "24"))
+
+    def scanner(step):
+        """Run `step` R times inside ONE program (distinct dynamic
+        starts so nothing folds), so the per-step cost resolves under
+        the ~26 ms dispatch floor."""
+
+        @jax.jit
+        def run(c, f):
+            def body(carry, i):
+                acc = step(c, f + 2 * i)
+                return carry + acc, 0
+
+            tot, _ = jax.lax.scan(
+                body, jnp.float32(0), jnp.arange(R, dtype=jnp.int32)
+            )
+            return tot
+
+        return run
+
+    def slice_step(c, f):
+        s0 = jnp.clip(jnp.min(f) - no // 2, 0, c.shape[1] - span_w)
+        base = jax.lax.dynamic_slice(
+            c, (jnp.zeros((), jnp.int32), s0), (B, span_w)
+        )
+        return base[:, ::1013].sum(dtype=jnp.int32).astype(jnp.float32)
+
+    def grouped_step(c, f):
+        r = sym_ops._timesearch_grouped(c, f, rel, ns, sc, no, groups)
+        return r.sum().astype(jnp.float32)
+
+    def integrate_step(c, f):
+        i = sym_ops.integrate_from_csum(c, f, hc, ns, sc)
+        return i.sum(dtype=jnp.int32).astype(jnp.float32)
+
+    floor = 0.026
+    for name, step in [
+        ("dynamic_slice_base", slice_step),
+        ("timesearch_grouped_full", grouped_step),
+        ("integrate_from_csum", integrate_step),
+    ]:
+        fn = scanner(step)
+        fn(csum, first)
+        float(fn(csum, first))
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(fn(csum, first))
+            best = min(best, time.perf_counter() - t0)
+        print(
+            json.dumps(
+                {
+                    "op": name,
+                    "wall_s": round(best, 4),
+                    "per_step_ms": round((best - floor) / R * 1e3, 3),
+                }
+            ),
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
