@@ -120,7 +120,13 @@ def _measure() -> None:
     cfg = PipelineConfig(
         pm=PMConfig(samprate=samprate, binsize=4.0, search_width=200.0),
         sym=SymConfig(samprate=samprate, symrate=symrate),
-        decode=DecodeConfig(viterbi_backend="inplace"),
+        decode=DecodeConfig(
+            viterbi_backend="inplace",
+            # tier-1 lockstep cycle cap (cycles/bit); the lockstep walk
+            # spins until its slowest lane finishes, so this bounds the
+            # straggler cost (stragglers re-run compacted at full budget)
+            fano_tier1_maxcycles=int(os.environ.get("BENCH_TIER1", "12")),
+        ),
     )
 
     key = jax.random.PRNGKey(0)

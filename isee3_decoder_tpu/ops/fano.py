@@ -79,10 +79,19 @@ class FanoParams:
     delta: int = 32  # threshold step (Fano_delta = 4 * Fano_scale)
     maxcycles: int = 100  # forward-looks per bit before giving up
     # micro-steps per while_loop iteration: purely a performance knob
-    # (identical walk).  Sweeps on v5e (scripts/tpu_fano_unroll_probe.py)
-    # show wall time flat for 4..32 — the walk is body-bound, not
-    # dispatch-bound — so 8 just keeps the cond-check overhead small.
-    unroll: int = 8
+    # (identical walk).  None = backend default: 8 on TPU (v5e sweeps in
+    # scripts/tpu_fano_unroll_probe.py show deeper is mildly better),
+    # 2 elsewhere — the XLA *CPU* backend fails to alias the
+    # register-carried walk's tape buffer across unrolled steps, and
+    # both compile time and per-iteration run time blow up
+    # super-linearly with the unroll depth (measured 0.7/1.1/4.0/>500 s
+    # compile at 1/2/4/8 under x64).
+    unroll: int | None = None
+
+    def resolved_unroll(self) -> int:
+        if self.unroll is not None:
+            return max(self.unroll, 1)
+        return 8 if jax.default_backend() == "tpu" else 2
 
 
 @functools.partial(
@@ -165,30 +174,33 @@ def fano_decode(
     lsym0 = _makesyms(enc0, code)
     tm0_r, tm1_r, bit_r = sort_branches(metrics4[:, 0], lsym0)
 
-    # ALL per-node walk state lives in ONE stride-8 array S, with the
-    # STATIC 4-way branch metrics interleaved alongside the dynamic
-    # fields:
-    #   S[:, 8i+0] = gamma_i   cumulative path metric
-    #   S[:, 8i+1] = tm0_i     best branch metric
-    #   S[:, 8i+2] = tm1_i     second branch metric
-    #   S[:, 8i+3] = (ibr_i << k) | enc_i
+    # The CURRENT node's record (gamma, sorted branch metrics, encoder
+    # hypothesis, branch index) rides in per-lane REGISTERS in the scan
+    # carry; the stride-8 array S is the PUSH-DOWN TAPE of the nodes
+    # below it, with the STATIC 4-way branch metrics interleaved
+    # alongside each record:
+    #   S[:, 8i+0] = gamma_i   cumulative path metric   (written on push)
+    #   S[:, 8i+1] = tm0_i     best branch metric       (written on push)
+    #   S[:, 8i+2] = tm1_i     second branch metric     (written on push)
+    #   S[:, 8i+3] = (ibr_i << k) | enc_i               (written on push)
     #   S[:, 8i+4..7] = metrics4[i]  (never written by the walk)
     # plus one trailing DUMP node (index N) so masked-off lanes scatter
-    # there unconditionally — no read-modify-write.  The packing matters
-    # because on this runtime each per-row gather/scatter CALL costs
-    # ~10us regardless of width: interleaving the metrics lets ONE
-    # 10-wide gather fetch both nodes' walk state AND the next node's
-    # branch metrics, where the stride-4 layout needed a second 4-wide
-    # gather per micro-step (unroll-factor sweeps show the walk is
-    # body-bound, so call count is the whole game —
-    # scripts/tpu_fano_unroll_probe.py).
-    s4 = jnp.zeros((B, N + 1, 4), jnp.int32)
-    s4 = s4.at[:, 0, 1].set(tm0_r).at[:, 0, 2].set(tm1_r)
-    s4 = s4.at[:, 0, 3].set(enc0 | bit_r)
+    # there unconditionally — no read-modify-write.  The layout matters
+    # because per-row gather/scatter cost on this runtime scales with
+    # the gathered ELEMENT count: a forward look only needs the next
+    # node's metrics (4 lanes), a backtrack step only the back node's
+    # record (4 lanes) — one mode-selected 4-wide gather serves both,
+    # and the only scatter is the 4-wide record push when a lane
+    # advances.  (Earlier generations gathered 6+4 resp. 10 wide per
+    # micro-step; unroll sweeps show the walk is body-bound, so indexed
+    # element count is the whole game —
+    # scripts/tpu_fano_unroll_probe.py.)
     m4pad = jnp.concatenate(
         [metrics4.astype(jnp.int32), jnp.zeros((B, 1, 4), jnp.int32)], axis=1
     )
-    S = jnp.concatenate([s4, m4pad], axis=-1).reshape(B, 8 * N + 8)
+    S = jnp.concatenate(
+        [jnp.zeros((B, N + 1, 4), jnp.int32), m4pad], axis=-1
+    ).reshape(B, 8 * N + 8)
 
     def sel4(m4, s):
         """m4[b, s[b]] for s in {0..3} via selects — per-row gathers
@@ -203,18 +215,29 @@ def fano_decode(
         cycles: jax.Array
         mode: jax.Array  # 0 = forward look, 1 = backtracking
         done: jax.Array
-        S: jax.Array  # (B, 4N+4) packed per-node walk state
+        g: jax.Array  # current node's cumulative path metric
+        tm0: jax.Array  # current node's best branch metric
+        tm1: jax.Array  # current node's second branch metric
+        enc: jax.Array  # current node's encoder-state hypothesis
+        ibr: jax.Array  # current node's branch index (0 or 1)
+        S: jax.Array  # (B, 8N+8) push-down tape + interleaved metrics
 
+    zero = jnp.zeros((B,), jnp.int32)
     init = Carry(
-        np_idx=jnp.zeros((B,), jnp.int32),
-        t=jnp.zeros((B,), jnp.int32),
-        cycles=jnp.zeros((B,), jnp.int32),
-        mode=jnp.zeros((B,), jnp.int32),
+        np_idx=zero,
+        t=zero,
+        cycles=zero,
+        mode=zero,
         done=(
             jnp.zeros((B,), bool)
             if skip is None
             else jnp.broadcast_to(jnp.asarray(skip, bool), (B,))
         ),
+        g=zero,
+        tm0=tm0_r,
+        tm1=tm1_r,
+        enc=enc0 | bit_r,
+        ibr=zero,
         S=S,
     )
 
@@ -228,30 +251,30 @@ def fano_decode(
 
         back_np = np_idx - 1
         back_np_c = jnp.maximum(back_np, 0)
-        # ONE 10-wide gather covers both nodes' packed walk state (tm0
-        # AND tm1 are both fetched so the branch select needs no second
-        # pass) plus the next node's interleaved branch metrics
-        b8, n8 = 8 * back_np_c, 8 * np_idx
-        m8 = 8 * jnp.clip(np_idx + 1, 0, N - 1) + 4
-        gidx = jnp.stack(
-            [b8, b8 + 3, n8, n8 + 1, n8 + 2, n8 + 3,
-             m8, m8 + 1, m8 + 2, m8 + 3],
-            axis=1,
+        new_np = np_idx + 1
+        # ONE mode-selected 4-wide gather: forward lanes fetch the next
+        # node's interleaved branch metrics, backtrack lanes fetch the
+        # back node's tape record.  (The current node's record rides in
+        # the carry registers, so nothing else needs indexing.)
+        gbase = jnp.where(
+            fwd, 8 * jnp.clip(new_np, 0, N - 1) + 4, 8 * back_np_c
         )
-        g10 = jnp.take_along_axis(c.S, gidx, axis=1)
-        g_prev = g10[:, 0]
-        e_back = g10[:, 1]
-        g_np = g10[:, 2]
-        e_np = g10[:, 5]
+        gidx = gbase[:, None] + jnp.arange(4, dtype=jnp.int32)[None, :]
+        g4 = jnp.take_along_axis(c.S, gidx, axis=1)
+        # backtrack-lane view of the gather
+        g_prev = g4[:, 0]
+        tm0_b, tm1_b = g4[:, 1], g4[:, 2]
+        e_back = g4[:, 3]
         enc_back, back_ibr = e_back & encmask, e_back >> k
-        prev_enc, cur_ibr = e_np & encmask, e_np >> k
-        tm_np = jnp.where(cur_ibr == 0, g10[:, 3], g10[:, 4])
+        # forward-lane view
+        m4 = g4
 
         # ---------- forward look (fano.c:117-166) ----------
-        ngamma = g_np + tm_np
+        tm_np = jnp.where(c.ibr == 0, c.tm0, c.tm1)
+        ngamma = c.g + tm_np
         ok = ngamma >= t
         # threshold tightening on first visit (fano.c:121-130)
-        tighten = ok & (g_np < t + delta)
+        tighten = ok & (c.g < t + delta)
         t_fwd = jnp.where(
             tighten, t + delta * ((ngamma - t) // delta), t
         )
@@ -259,10 +282,8 @@ def fano_decode(
         newly_done = fwd & ok & at_last
         advance = fwd & ok & ~at_last
 
-        new_np = np_idx + 1
-        adv_enc = (prev_enc << 1) & encmask
+        adv_enc = (c.enc << 1) & encmask
         lsym = _makesyms(adv_enc, code)
-        m4 = g10[:, 6:10]  # next node's metrics, from the same gather
 
         # tail zone (fano.c:141-147)
         in_tail = new_np >= tail_start
@@ -293,7 +314,7 @@ def fano_decode(
         toggle_next = stepback & can_try  # switch to 2nd branch, resume fwd
 
         # relax: t -= delta; reset current node to best branch
-        relax_flip = relax & (cur_ibr != 0)
+        relax_flip = relax & (c.ibr != 0)
 
         # ---------- merge updates ----------
         np_next = jnp.where(advance, new_np, jnp.where(stepback, back_np, np_idx))
@@ -312,29 +333,47 @@ def fano_decode(
         timeout = ~done_next & (cycles_next >= max_total) & (mode_next == 0)
         done_next = done_next | timeout
 
-        # ONE 4-wide scatter: gamma/tm0/tm1 land at the advanced node
-        # (or its dump slot), and — since advance / toggle_next /
-        # relax_flip are mutually exclusive — the three enc+ibr updates
-        # fold into the fourth lane (or ITS dump slot).  The four
-        # indices are always distinct within a row, and only fields
-        # 0..3 of a node's stride-8 record are ever written (the
-        # interleaved metrics at 8i+4..7 stay static).
-        upd_mask = advance | toggle_next | relax_flip
-        upd_idx = jnp.where(
-            upd_mask,
-            jnp.where(advance, new_np, jnp.where(toggle_next, back_np_c, np_idx)),
-            N,
+        # ---------- register updates ----------
+        # advance: registers become the new node's freshly sorted record;
+        # stepback: the back node's tape record (with the branch toggle
+        # applied when allowed); relax: reset the current node to its
+        # best branch (enc LSB flips only if it sat on branch 1).
+        g_next = jnp.where(advance, ngamma, jnp.where(stepback, g_prev, c.g))
+        tm0_next = jnp.where(
+            advance, adv_tm0, jnp.where(stepback, tm0_b, c.tm0)
         )
-        ibr_val = jnp.where(toggle_next, back_ibr + 1, 0)
-        enc_val = jnp.where(
+        tm1_next = jnp.where(
+            advance, adv_tm1, jnp.where(stepback, tm1_b, c.tm1)
+        )
+        enc_next = jnp.where(
             advance,
             adv_enc | adv_bit,
-            jnp.where(toggle_next, enc_back ^ 1, prev_enc ^ 1),
+            jnp.where(
+                toggle_next,
+                enc_back ^ 1,
+                jnp.where(
+                    stepback, enc_back, jnp.where(relax_flip, c.enc ^ 1, c.enc)
+                ),
+            ),
         )
-        w8 = jnp.where(advance, 8 * new_np, 8 * N)
-        sidx = jnp.stack([w8, w8 + 1, w8 + 2, 8 * upd_idx + 3], axis=1)
+        ibr_next = jnp.where(
+            advance,
+            0,
+            jnp.where(
+                toggle_next,
+                back_ibr + 1,
+                jnp.where(stepback, back_ibr, jnp.where(relax, 0, c.ibr)),
+            ),
+        )
+
+        # ONE 4-wide scatter: advancing lanes PUSH the current node's
+        # record onto the tape at its slot; everyone else writes their
+        # dump slot.  Only fields 0..3 of a stride-8 record are written
+        # (the interleaved metrics at 8i+4..7 stay static).
+        w8 = jnp.where(advance, 8 * np_idx, 8 * N)
+        sidx = w8[:, None] + jnp.arange(4, dtype=jnp.int32)[None, :]
         svals = jnp.stack(
-            [ngamma, adv_tm0, adv_tm1, (ibr_val << k) | enc_val], axis=1
+            [c.g, c.tm0, c.tm1, (c.ibr << k) | c.enc], axis=1
         )
         S_next = c.S.at[bidx[:, None], sidx].set(svals)
 
@@ -344,17 +383,29 @@ def fano_decode(
             cycles=cycles_next,
             mode=mode_next,
             done=done_next,
+            g=g_next,
+            tm0=tm0_next,
+            tm1=tm1_next,
+            enc=enc_next,
+            ibr=ibr_next,
             S=S_next,
         )
 
     def body_unrolled(c: Carry) -> Carry:
-        for _ in range(max(params.unroll, 1)):
+        for _ in range(params.resolved_unroll()):
             c = body(c)
         return c
 
     final = jax.lax.while_loop(cond, body_unrolled, init)
 
-    bits = (final.S[:, 3 : 8 * N : 8] & 1).astype(jnp.uint8)
+    # tape records cover nodes 0..np-1; the current node's bit comes
+    # from the enc register
+    node_ids = jnp.arange(N, dtype=jnp.int32)[None, :]
+    bits = jnp.where(
+        node_ids == final.np_idx[:, None],
+        (final.enc & 1)[:, None],
+        final.S[:, 3 : 8 * N : 8] & 1,
+    ).astype(jnp.uint8)
     goodbits = final.np_idx + 1
     # Partial-decode convention of fano.c:193-202 as used by decode.c:201:
     # only the first goodbits/8 FULL bytes of the path are copied out; the
@@ -362,7 +413,5 @@ def fano_decode(
     # that boundary so failed frames print exactly like the reference's.
     valid = jnp.arange(N, dtype=jnp.int32)[None, :] < ((goodbits // 8) * 8)[:, None]
     bits = jnp.where(valid, bits, 0).astype(jnp.uint8)
-    metric = jnp.take_along_axis(
-        final.S, (8 * final.np_idx)[:, None], axis=1
-    )[:, 0]
+    metric = final.g  # the current node's path metric rides in registers
     return FanoResult(bits=bits, goodbits=goodbits, metric=metric, cycles=final.cycles)
