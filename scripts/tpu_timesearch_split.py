@@ -82,11 +82,50 @@ def main():
         i = sym_ops.integrate_from_csum(c, f, hc, ns, sc)
         return i.sum(dtype=jnp.int32).astype(jnp.float32)
 
+    rel_t = sym_ops.trial_edges(hc, ns, sc)
+    flo = np.floor(rel_t)
+    frac = rel_t - flo
+    flo_d = jnp.asarray(flo.astype(np.int32))
+    up_d = jnp.asarray((frac > 0.5).astype(np.int32))
+    tie_d = jnp.asarray((frac == 0.5).astype(np.int32))
+
+    def integrate_flat_step(c, f):
+        # same edges as integrate_from_csum but gathered through a FLAT
+        # 1-D take on the raveled csum — probes the alternative XLA
+        # gather lowering
+        base = f[:, None] + flo_d[None, :]
+        abs_edges = base + up_d[None, :] + tie_d[None, :] * (base & 1)
+        flat = abs_edges + (jnp.arange(B, dtype=jnp.int32) * c.shape[1])[:, None]
+        g = jnp.take(c.reshape(-1), flat.reshape(-1), axis=0).reshape(B, -1)
+        seg = (g[:, 1:] - g[:, :-1]).reshape(B, ns, sc, 2)
+        i = (seg[..., 1] - seg[..., 0]).sum(axis=-1, dtype=c.dtype)
+        return i.sum(dtype=jnp.int32).astype(jnp.float32)
+
+    span_i = int(rel_t[-1]) + 8
+
+    def integrate_narrow_step(c, f):
+        # slice a shared narrow base first (cheap), gather edges from it
+        s0 = jnp.min(f)
+        base_arr = jax.lax.dynamic_slice(
+            c, (jnp.zeros((), jnp.int32), s0), (B, span_i + 512)
+        )
+        fr = f - s0
+        base = fr[:, None] + flo_d[None, :]
+        # parity of the ABSOLUTE edge: (s0 + base) & 1 — keep via f parity
+        absbase = f[:, None] + flo_d[None, :]
+        abs_edges = base + up_d[None, :] + tie_d[None, :] * (absbase & 1)
+        g = jnp.take_along_axis(base_arr, abs_edges, axis=-1)
+        seg = (g[:, 1:] - g[:, :-1]).reshape(B, ns, sc, 2)
+        i = (seg[..., 1] - seg[..., 0]).sum(axis=-1, dtype=c.dtype)
+        return i.sum(dtype=jnp.int32).astype(jnp.float32)
+
     floor = 0.026
     for name, step in [
         ("dynamic_slice_base", slice_step),
         ("timesearch_grouped_full", grouped_step),
         ("integrate_from_csum", integrate_step),
+        ("integrate_flat_take", integrate_flat_step),
+        ("integrate_narrow_gather", integrate_narrow_step),
     ]:
         fn = scanner(step)
         fn(csum, first)

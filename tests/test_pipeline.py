@@ -184,3 +184,47 @@ def test_receive_blocks_pipelined_matches_receive_block():
         np.testing.assert_array_equal(ra.good, rb.good)
         np.testing.assert_array_equal(ra.decoder, rb.decoder)
         np.testing.assert_array_equal(ra.start_symbol, rb.start_symbol)
+
+
+def test_receive_block_tier2_device_gather_matches_decode_block():
+    """When lanes fail the device tier-1 cap, receive_block's fallback
+    tiers gather the failed lanes' frame windows from the DEVICE-resident
+    soft stream (receive_block_device_soft) — results must equal
+    decode_block run on the host-fetched soft symbols (the np gather
+    path), lane for lane, including tier-2 Fano cycles and the Viterbi
+    fallback."""
+    import dataclasses
+
+    from isee3_decoder_tpu.models.decode import decode_block
+    from isee3_decoder_tpu.models.pipeline import demod_to_symbols, receive_block
+
+    cfg = PipelineConfig(
+        pm=PMConfig(samprate=32768.0, binsize=32.0),
+        sym=SymConfig(samprate=32768.0, symrate=512.0, window=0.5),
+        # tier-1 cap of 1 cycle/bit: any lane needing a real threshold
+        # walk times out at tier 1 and exercises the fallback path
+        decode=DecodeConfig(fano_tier1_maxcycles=1, persistent=True),
+    )
+    rng = np.random.default_rng(11)
+    frames = testsignal.random_frames(rng, 3)
+    iqs = []
+    for carrier, noise_std in ((5000.0, 900.0), (7000.0, 14000.0)):
+        iq = testsignal.synthesize_iq(
+            frames, samprate=cfg.pm.samprate, symrate=cfg.sym.symrate,
+            carrier=carrier, noise_std=noise_std, lead_symbols=30, rng=rng,
+        )
+        iqs.append(testsignal.iq_to_int16(iq))
+    L = min(len(q) for q in iqs)
+    iq = np.stack([q[:L] for q in iqs])
+
+    rec, ss = receive_block(iq, 1, cfg)
+    # the noisy channel must actually have left the quicklook tier
+    assert (rec.decoder != 3).any()
+
+    soft, _, _, _ = demod_to_symbols(jnp.asarray(iq), cfg)
+    want, want_ss = decode_block(np.asarray(soft), 1, cfg.decode)
+    np.testing.assert_array_equal(ss, want_ss)
+    np.testing.assert_array_equal(rec.data, want.data)
+    np.testing.assert_array_equal(rec.good, want.good)
+    np.testing.assert_array_equal(rec.decoder, want.decoder)
+    np.testing.assert_array_equal(rec.fano_cycles, want.fano_cycles)
