@@ -81,6 +81,15 @@ def main() -> None:
 def _measure() -> None:
     import jax
 
+    # Persistent compile cache: the chain programs cost minutes to
+    # compile through the tunneled runtime; repeat bench runs (and the
+    # driver's end-of-round run) skip nearly all of it.
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "build", "jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
     if os.environ.get("BENCH_CPU", "") == "1":
         jax.config.update("jax_platforms", "cpu")
     else:

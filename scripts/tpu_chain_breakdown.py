@@ -99,10 +99,22 @@ def main():
         soft, bb, freq, cn0 = demod_to_symbols(raw, cfg)
         return soft.sum(dtype=jnp.int32).astype(jnp.float32)
 
+    # frames that actually fit the demodulated stream (bench.py logic) —
+    # passing more gathers garbage windows and spins the Fano tier
+    from isee3_decoder_tpu.config import SYNCBITS
+    from isee3_decoder_tpu.ops.syncword import find_sync
+
+    soft_probe, _, _, _ = demod_to_symbols(iq, cfg)
+    ss_p, _ = find_sync(soft_probe[:, : FRAMESYMBOLS + SYNCBITS], FRAMESYMBOLS)
+    S = soft_probe.shape[1]
+    f_avail = int(
+        (S - int(jnp.max(ss_p)) - SYNCBITS) // FRAMESYMBOLS
+    )
+
     @jax.jit
     def chain(raw):
         from isee3_decoder_tpu.models.pipeline import receive_block_device
-        buf = receive_block_device(raw, nframes, FRAMESYMBOLS, cfg)
+        buf = receive_block_device(raw, f_avail, FRAMESYMBOLS, cfg)
         return buf.sum(dtype=jnp.int32).astype(jnp.float32)
 
     from isee3_decoder_tpu.ops.carrier import pm_demod_scan

@@ -119,6 +119,17 @@ def main():
         i = (seg[..., 1] - seg[..., 0]).sum(axis=-1, dtype=c.dtype)
         return i.sum(dtype=jnp.int32).astype(jnp.float32)
 
+    from isee3_decoder_tpu.models.symdemod import symdemod_scan_csum
+
+    def window_full_step(c, f):
+        # one full symdemod window: timesearch + integrate + finish
+        ts = sym_ops.timesearch_from_csum(c, f, hc, ns, sc, no)
+        fs = f + ts.symphase
+        integ = sym_ops.integrate_from_csum(c, fs, hc, ns, sc)
+        gain = 100.0 / jnp.sqrt(ts.maxenergy)
+        soft, _ = sym_ops.finish_demod(integ, gain)
+        return soft.sum(dtype=jnp.int32).astype(jnp.float32)
+
     floor = 0.026
     for name, step in [
         ("dynamic_slice_base", slice_step),
@@ -126,6 +137,7 @@ def main():
         ("integrate_from_csum", integrate_step),
         ("integrate_flat_take", integrate_flat_step),
         ("integrate_narrow_gather", integrate_narrow_step),
+        ("window_full", window_full_step),
     ]:
         fn = scanner(step)
         fn(csum, first)
