@@ -159,3 +159,67 @@ def test_pm_demod_scan_raw_fast_end_to_end():
         np.asarray(out1.baseband, np.int32) - np.asarray(out2.baseband, np.int32)
     )
     assert diff.max() <= 1, diff.max()
+
+
+def test_pm_demod_scan_csum_matches_block_scan():
+    """The one-dispatch whole-scan kernel (pm_demod_scan_csum, now the
+    non-default `pm_backend="fused_scan"` path) must keep matching the
+    per-block scan + separate prefix sum: same lock/freq stats, same
+    exclusive csum up to the documented 1-LSB trig-ulp tolerance of the
+    fused kernels (a baseband LSB shifts every later csum entry by 1)."""
+    from isee3_decoder_tpu.ops import prefix_pallas
+
+    cfg = carrier.PMConfig(
+        samprate=32768.0,
+        binsize=4.0,
+        search_width=100.0,
+        search_backend="pallas_interpret",
+    )
+    n = cfg.fftsize
+    nch, T = 8, 3
+    rng = np.random.default_rng(12)
+    data = rng.integers(0, 2, 256) * 2 - 1
+    freqs = 2000.0 + 137.0 * np.arange(nch)
+    iq = np.stack(
+        [
+            pm_signal(T * n, cfg.samprate, f, 1.1, data, 32.0, amp=12000)
+            + rng.normal(0, 300, T * n)
+            + 1j * rng.normal(0, 300, T * n)
+            for f in freqs
+        ]
+    )
+    raw = _raw_int16(iq).reshape(nch, T, 2 * n)
+    assert carrier._scan_fused_capable(cfg, nch, n, T)
+    carry = carrier.init_carry(nch, cfg)
+
+    c1, csum, stats, tots = carrier.pm_demod_scan_csum(
+        carry, jnp.asarray(raw), cfg
+    )
+    c2, out2 = carrier.pm_demod_scan(carry, jnp.asarray(raw), cfg)
+    csum2 = prefix_pallas.prefix_sum_blocks(out2.baseband, interpret=True)
+    tots2 = csum2[:, -1] + out2.baseband[T - 1, :, n - 1].astype(np.int32)
+
+    np.testing.assert_array_equal(
+        np.asarray(stats.locked), np.asarray(out2.locked)
+    )
+    np.testing.assert_allclose(
+        np.asarray(stats.carrier_freq),
+        np.asarray(out2.carrier_freq),
+        atol=5e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(c1.search_center), np.asarray(c2.search_center), atol=5e-3
+    )
+    # each baseband sample may differ by 1 LSB (trig ulps move the trunc
+    # boundary); the exclusive csum accumulates those, so compare via the
+    # per-sample differences it encodes
+    bb1 = np.diff(
+        np.concatenate(
+            [np.asarray(csum), np.asarray(tots)[:, None]], axis=1
+        ),
+        axis=1,
+    )
+    bb2 = np.asarray(
+        jnp.swapaxes(out2.baseband, 0, 1).reshape(nch, T * n), np.int32
+    )
+    assert np.abs(bb1 - bb2).max() <= 1
