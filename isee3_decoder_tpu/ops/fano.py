@@ -17,12 +17,15 @@ timed out — Fano's wildly variable per-frame cost (CHANGES:21) is
 absorbed by the batch dimension instead of a single CPU core.
 
 The per-node state (cumulative metric, sorted branch metrics, branch
-index, encoder-state hypothesis) is the array-of-structs ``struct node``
-(fano.c:13-19) packed into ONE interleaved stride-8 int32 array per
-batch row with the static 4-way branch metrics in the other half of
-each record, so each micro-step costs exactly one (10-wide) gather and
-one (4-wide) scatter call (per-row indexed ops have a high fixed cost
-on the TPU runtime regardless of width).
+index, encoder-state hypothesis — the array-of-structs ``struct node``
+of fano.c:13-19) splits into the CURRENT node's record carried in
+per-lane scan registers and a stride-8 push-down tape (with the static
+4-way branch metrics interleaved into each record), so each micro-step
+costs exactly ONE mode-selected 4-wide gather — forward lanes read the
+next node's metrics, backtrack lanes read the back node's record — and
+ONE 4-wide scatter that pushes the record only when a lane advances
+(indexed-element count is what per-row gathers/scatters cost on the
+TPU runtime).
 """
 
 from __future__ import annotations
