@@ -36,6 +36,7 @@ def main(argv=None) -> int:
         flip = 1
     if not a.dontflip and symbols.shape[1] >= 2082:
         symbols, extra = auto_phase_flip(symbols)
+        extra = int(extra[0])
         flip ^= extra
         if extra and not a.quiet:
             status("qdecode: flipping phase")

@@ -112,7 +112,7 @@ def main(argv=None) -> int:
             # one-window tracked step: reuse the host driver on the buffer
             soft, infos = symdemod_tracked(buf[None, :], cfg, 1)
             info = infos[0]
-            symbolsamples = info["symbolsamples"]
+            symbolsamples = float(info["symbolsamples"][0])
             cfg = SymConfig(cfg.samprate, cfg.samprate / symbolsamples, clocks, cfg.window)
             firstsample = int(info["firstsample"][0])
             write_bytes(soft[0])

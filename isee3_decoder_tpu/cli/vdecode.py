@@ -44,6 +44,7 @@ def main(argv=None) -> int:
         symbols = np.concatenate([np.zeros((1, 1), np.uint8), symbols], axis=1)
     if not a.dontflip and symbols.shape[1] >= 2082:
         symbols, extra = auto_phase_flip(symbols)
+        extra = int(extra[0])
         if extra and not a.quiet:
             status("vdecode: flipping phase")
     res = vdecode_stream(jnp.asarray(symbols), a.decode_delay, backend=a.backend)

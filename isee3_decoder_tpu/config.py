@@ -41,6 +41,18 @@ class CodeSpec:
         return 1 << (self.k - 1)
 
     @property
+    def kbits(self) -> int:
+        """Effective constraint width in state bits.
+
+        The reference carries an UNMASKED 64-bit encoder state
+        (encode.c:27, fano.c:13-19), so a polynomial longer than K still
+        taps those extra history bits — J50's 51-bit POLY1 with K=50
+        genuinely reads the input bit from 50 steps ago.  Any state
+        masking must therefore use this width, not K.
+        """
+        return max(self.k, self.poly1.bit_length(), self.poly2.bit_length())
+
+    @property
     def state_mask(self) -> int:
         return (1 << (self.k - 1)) - 1
 

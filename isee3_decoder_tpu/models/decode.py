@@ -505,6 +505,15 @@ def _gather_failed_lanes(
     device so a tier-2 re-run never re-demodulates or fetches the whole
     stream)."""
     idx = starts.reshape(-1)[sub, None] + np.arange(FRAMESYMBOLS)[None, :]
+    if idx.size and idx.max() >= symbols.shape[-1]:
+        # the host branch's np.take_along_axis would raise on this; the
+        # device branch's jnp.take_along_axis silently clamps — fail
+        # loudly on both so a mis-placed sync start can't duplicate
+        # samples into a frame window
+        raise ValueError(
+            f"frame window past end of soft stream: max index {idx.max()}"
+            f" >= {symbols.shape[-1]}"
+        )
     if isinstance(symbols, jax.Array):
         return np.asarray(
             jnp.take_along_axis(

@@ -52,20 +52,28 @@ def qdecode_stream(symbols: jax.Array, code: CodeSpec = DEFAULT_CODE) -> jax.Arr
 
 def auto_phase_flip(
     symbols: np.ndarray, code: CodeSpec = DEFAULT_CODE
-) -> tuple[np.ndarray, int]:
-    """Determine symbol-pair phasing for a stream by comparing sync
+) -> tuple[np.ndarray, np.ndarray]:
+    """Determine symbol-pair phasing for each stream by comparing sync
     correlation peaks on even vs odd alignments over the first frame
-    (vdecode.c:110-141): returns (aligned_symbols, phase).
+    (vdecode.c:110-141): returns (aligned_symbols, phase (B,) int array).
 
-    phase 1 means the stream started mid-pair; one symbol is dropped.
+    phase 1 means that stream started mid-pair; one symbol is dropped.
+    Each channel is phased independently.  With mixed flips the common
+    output length is L - max(flip): unflipped channels lose their final
+    symbol(s) to keep the batch rectangular (a partial trailing pair
+    carries no extra decodable bit).
     """
     if symbols.ndim == 1:
         symbols = symbols[None, :]
+    symbols = np.asarray(symbols)
     head = symbols[:, : FRAMESYMBOLS + SYNCBITS]
     even, odd = phase_sync_peaks(jnp.asarray(head), code)
     # vdecode flips when the out-phase (even-ending) peak is stronger
-    flip = int(np.asarray(even)[0] > np.asarray(odd)[0])
-    return (symbols[:, flip:] if flip else symbols), flip
+    flips = (np.asarray(even) > np.asarray(odd)).astype(np.int64)
+    maxf = int(flips.max()) if flips.size else 0
+    L = symbols.shape[1] - maxf
+    out = np.stack([symbols[b, f : f + L] for b, f in enumerate(flips)])
+    return out, flips
 
 
 class VdecodeResult(NamedTuple):

@@ -79,6 +79,15 @@ def demod_to_symbols(
     reference's fread loops do (pmdemod.c:210-215, symdemod.c:124-125).
     Raw int16 input reads half the HBM bytes of complex64.
     """
+    if cfg.pm_backend not in ("auto", "fused_scan"):
+        raise ValueError(
+            f"pm_backend must be 'auto' or 'fused_scan', got {cfg.pm_backend!r}"
+        )
+    if cfg.csum_backend not in ("auto", "jnp", "pallas_interpret"):
+        raise ValueError(
+            "csum_backend must be 'auto', 'jnp' or 'pallas_interpret',"
+            f" got {cfg.csum_backend!r}"
+        )
     if iq.ndim == 1:
         iq = iq[None, :]
     B = iq.shape[0]
@@ -304,6 +313,12 @@ def receive_blocks_pipelined(
     pure latency (scripts/tpu_decode_breakdown.py floor measurement), so
     depth 2 hides both the fetch AND most of the per-block host loop,
     not just the transfer (depth 1 = the round-2 double buffering).
+
+    HBM cost of depth: each unit of depth holds one block's raw IQ AND
+    its device-resident soft stream (plus the packed result buffer)
+    resident simultaneously — at 256 channels x 8.4 s blocks, 4 resident
+    IQ blocks already exceed v5e HBM (docs/ROADMAP.md r3).  When scaling
+    the channel count, lower depth before lowering the block length.
 
     Yields (FrameRecord, sync_start) per block, in order.
     """

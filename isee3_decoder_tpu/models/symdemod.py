@@ -119,6 +119,96 @@ def window_samples(cfg: SymConfig) -> int:
     return int(cfg.window * cfg.samprate)
 
 
+def _track_channel(
+    csum_row: jax.Array,
+    cfg: SymConfig,
+    nwindows: int,
+) -> tuple[np.ndarray, list[dict]]:
+    """One channel's clock-tracked demodulation (-t, symdemod.c:133-174).
+
+    Hill-climbs (symbolsamples ± clock_incr, phase ± 1 sample) on mean
+    demodulated energy until two consecutive no-improvements, updating the
+    clock estimate across windows — the exact control flow of the
+    reference's single-channel tracker.  Heavy math stays on device; the
+    search control runs on host because symbolsamples parametrizes the
+    edge tables.
+    """
+    import math
+
+    symbolsamples = cfg.symbolsamples
+    first = int(initial_firstsample(cfg))
+
+    def energy_at(first_s, symsamp):
+        nsym = int(cfg.window * cfg.samprate / symsamp)
+        half = (0.5 / cfg.symbolclocks) * symsamp
+        integ = sym_ops.integrate_from_csum(
+            csum_row, jnp.asarray([first_s], jnp.int32), half, nsym, cfg.symbolclocks
+        )
+        return float((np.asarray(integ, np.float64) ** 2).mean())
+
+    outs = []
+    infos = []
+    for w in range(nwindows):
+        nsym = int(cfg.window * cfg.samprate / symbolsamples)
+        half = (0.5 / cfg.symbolclocks) * symbolsamples
+        # C offset range -trunc(s/2) .. ceil(s/2)-1 (symdemod.c:273,305)
+        noff = int(symbolsamples / 2) + math.ceil(symbolsamples / 2)
+        ts = sym_ops.timesearch_from_csum(
+            csum_row,
+            jnp.asarray([first], jnp.int32),
+            half,
+            nsym,
+            cfg.symbolclocks,
+            noff,
+        )
+        first = first + int(np.asarray(ts.symphase)[0])
+        maxenergy = float(np.asarray(ts.maxenergy)[0])
+
+        clock_incr = 0.5 * symbolsamples / (cfg.window * cfg.samprate)
+        phase_incr = 1
+        nochange = 0
+        while nochange < 2:
+            e = energy_at(first, symbolsamples + clock_incr)
+            if e > maxenergy:
+                maxenergy, symbolsamples, nochange = e, symbolsamples + clock_incr, 0
+                continue
+            e = energy_at(first, symbolsamples - clock_incr)
+            if e > maxenergy:
+                maxenergy, symbolsamples = e, symbolsamples - clock_incr
+                clock_incr, nochange = -clock_incr, 0
+                continue
+            nochange += 1
+            e = energy_at(first + phase_incr, symbolsamples)
+            if e > maxenergy:
+                maxenergy, first, nochange = e, first + phase_incr, 0
+                continue
+            e = energy_at(first - phase_incr, symbolsamples)
+            if e > maxenergy:
+                maxenergy, first = e, first - phase_incr
+                phase_incr, nochange = -phase_incr, 0
+                continue
+            nochange += 1
+
+        half = (0.5 / cfg.symbolclocks) * symbolsamples
+        integ = sym_ops.integrate_from_csum(
+            csum_row, jnp.asarray([first], jnp.int32), half, nsym, cfg.symbolclocks
+        )
+        gain = 100.0 / np.sqrt(maxenergy)
+        soft, _ = sym_ops.finish_demod(integ, jnp.asarray(gain))
+        outs.append(np.asarray(soft)[0])
+        infos.append(
+            dict(
+                window=w,
+                symbolsamples=symbolsamples,
+                symrate=cfg.samprate / symbolsamples,
+                firstsample=first,
+                energy=maxenergy,
+            )
+        )
+        first = int(first + nsym * symbolsamples)
+    return np.concatenate(outs), infos
+
+
 def symdemod_tracked(
     samples: np.ndarray,
     cfg: SymConfig,
@@ -126,20 +216,22 @@ def symdemod_tracked(
 ) -> tuple[np.ndarray, list[dict]]:
     """Host-driven variant with clock tracking (-t, symdemod.c:133-174).
 
-    Hill-climbs (symbolsamples ± clock_incr, phase ± 1 sample) on total
-    demodulated energy until two consecutive no-improvements, updating the
-    clock estimate across windows.  Heavy math stays jitted; the search
-    control runs on host because symbolsamples is a static edge-table
-    parameter.
+    Each channel runs the reference's single-channel hill climb
+    INDEPENDENTLY (its own symbolsamples / phase / maxenergy state), so a
+    batch of channels with divergent clocks each converges like a lone
+    reference run — a whole-batch accept test would let any one channel
+    veto every other channel's step.
 
-    Returns (soft_symbols (B, nwindows*nsymbols), per-window info dicts).
+    Returns (soft_symbols (B, total_symbols), per-window info dicts whose
+    array-valued fields stack the channels).  Channels whose clocks
+    diverge can emit different symbol counts per window; shorter rows are
+    right-padded with 128 (zero soft confidence) to keep the batch
+    rectangular.
     """
     samples = jnp.asarray(samples)
     if samples.ndim == 1:
         samples = samples[None, :]
     B = samples.shape[0]
-    symbolsamples = cfg.symbolsamples
-    first = np.full((B,), initial_firstsample(cfg), np.int64)
     # slack for the grouped timesearch span (see symdemod_scan)
     csum = sym_ops.prefix_sum(
         samples,
@@ -149,70 +241,31 @@ def symdemod_tracked(
         + 576,
     )
 
-    def energy_at(first, symsamp):
-        nsym = int(cfg.window * cfg.samprate / symsamp)
-        half = (0.5 / cfg.symbolclocks) * symsamp
-        integ = sym_ops.integrate_from_csum(
-            csum, jnp.asarray(first, jnp.int32), half, nsym, cfg.symbolclocks
-        )
-        e = (np.asarray(integ, np.float64) ** 2).mean(axis=-1)
-        return e
+    streams = []
+    chan_infos = []
+    for b in range(B):
+        soft_b, infos_b = _track_channel(csum[b : b + 1], cfg, nwindows)
+        streams.append(soft_b)
+        chan_infos.append(infos_b)
 
-    outs = []
+    total = max(s.size for s in streams)
+    out = np.full((B, total), 128, np.uint8)
+    for b, s in enumerate(streams):
+        out[b, : s.size] = s
+
     infos = []
     for w in range(nwindows):
-        import math
-
-        nsym = int(cfg.window * cfg.samprate / symbolsamples)
-        half = (0.5 / cfg.symbolclocks) * symbolsamples
-        # C offset range -trunc(s/2) .. ceil(s/2)-1 (symdemod.c:273,305)
-        noff = int(symbolsamples / 2) + math.ceil(symbolsamples / 2)
-        ts = sym_ops.timesearch_from_csum(
-            csum, jnp.asarray(first, jnp.int32), half, nsym, cfg.symbolclocks, noff
-        )
-        first = first + np.asarray(ts.symphase, np.int64)
-        maxenergy = np.asarray(ts.maxenergy, np.float64)
-
-        clock_incr = 0.5 * symbolsamples / (cfg.window * cfg.samprate)
-        phase_incr = 1
-        nochange = 0
-        while nochange < 2:
-            e = energy_at(first, symbolsamples + clock_incr)
-            if (e > maxenergy).all():
-                maxenergy, symbolsamples, nochange = e, symbolsamples + clock_incr, 0
-                continue
-            e = energy_at(first, symbolsamples - clock_incr)
-            if (e > maxenergy).all():
-                maxenergy, symbolsamples = e, symbolsamples - clock_incr
-                clock_incr, nochange = -clock_incr, 0
-                continue
-            nochange += 1
-            e = energy_at(first + phase_incr, symbolsamples)
-            if (e > maxenergy).all():
-                maxenergy, first, nochange = e, first + phase_incr, 0
-                continue
-            e = energy_at(first - phase_incr, symbolsamples)
-            if (e > maxenergy).all():
-                maxenergy, first = e, first - phase_incr
-                phase_incr, nochange = -phase_incr, 0
-                continue
-            nochange += 1
-
-        half = (0.5 / cfg.symbolclocks) * symbolsamples
-        integ = sym_ops.integrate_from_csum(
-            csum, jnp.asarray(first, jnp.int32), half, nsym, cfg.symbolclocks
-        )
-        gain = 100.0 / np.sqrt(maxenergy)
-        soft, _ = sym_ops.finish_demod(integ, jnp.asarray(gain))
-        outs.append(np.asarray(soft))
         infos.append(
             dict(
                 window=w,
-                symbolsamples=symbolsamples,
-                symrate=cfg.samprate / symbolsamples,
-                firstsample=first.copy(),
-                energy=maxenergy,
+                symbolsamples=np.array(
+                    [chan_infos[b][w]["symbolsamples"] for b in range(B)]
+                ),
+                symrate=np.array([chan_infos[b][w]["symrate"] for b in range(B)]),
+                firstsample=np.array(
+                    [chan_infos[b][w]["firstsample"] for b in range(B)]
+                ),
+                energy=np.array([chan_infos[b][w]["energy"] for b in range(B)]),
             )
         )
-        first = (first + nsym * symbolsamples).astype(np.int64)
-    return np.concatenate(outs, axis=-1), infos
+    return out, infos

@@ -17,6 +17,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from isee3_decoder_tpu.config import DEFAULT_CODE, CodeSpec
 
@@ -37,16 +38,17 @@ def bits_to_bytes(bits: jax.Array) -> jax.Array:
     return (b * weights).sum(axis=-1).astype(jnp.uint8)
 
 
-def _poly_taps(poly: int, k: int) -> tuple[int, ...]:
+def _poly_taps(poly: int, kb: int) -> tuple[int, ...]:
     """Tap positions (delays) where the polynomial has a 1 bit.
 
     Bit j of the polynomial multiplies the input bit from j steps ago
-    (encstate bit j after the shift at encode.c:27).
+    (encstate bit j after the shift at encode.c:27).  ``kb`` is the
+    EFFECTIVE width (CodeSpec.kbits): the reference's state is an
+    unmasked 64-bit word, so polynomials longer than K (J50) still tap.
     """
-    return tuple(j for j in range(k) if (poly >> j) & 1)
+    return tuple(j for j in range(kb) if (poly >> j) & 1)
 
 
-@functools.partial(jax.jit, static_argnames=("code",))
 def encode_bits(
     bits: jax.Array,
     encstate: jax.Array | int = 0,
@@ -56,33 +58,61 @@ def encode_bits(
 
     Args:
       bits: (..., nbits) array of 0/1 data bits, transmitted in order.
-      encstate: (...,) or scalar starting encoder state (low K bits used;
+      encstate: (...,) or scalar starting encoder state (low kbits used;
         bit j holds the input bit from j+1 steps before the block).
+        Host ints of any width split exactly; device arrays carry at
+        most 32 bits (enough for every code whose kbits <= 32).
       code: static code spec.
 
     Returns:
       (symbols, final_state): symbols is (..., 2*nbits) uint8 with the
       POLY1 symbol at even indices and POLY2 at odd (encode.c:28-29);
-      final_state is the K-bit encoder state after the block
+      final_state is the kbits-wide encoder state after the block
       (encode.c:33-34).
+    """
+    bits = jnp.asarray(bits)
+    kb = code.kbits  # effective width — see _poly_taps
+    # History bits must be materialized OUTSIDE the jitted core: a host
+    # int of arbitrary width (wide codes) can't survive jit's int32
+    # scalar conversion.
+    if isinstance(encstate, (int, np.integer)):
+        hv = int(encstate)
+        hist = jnp.asarray(
+            np.array([(hv >> j) & 1 for j in range(kb - 2, -1, -1)], np.int32)
+        )
+        hist = jnp.broadcast_to(hist, (*bits.shape[:-1], kb - 1))
+    else:
+        if kb > 32:
+            raise ValueError(
+                f"{code.name}: device-array encstate carries at most 32"
+                " bits; pass a host int for wide codes"
+            )
+        encstate = jnp.asarray(encstate, jnp.int32)
+        shifts = jnp.arange(kb - 2, -1, -1, dtype=jnp.int32)
+        hist = (encstate[..., None] >> shifts) & 1
+        hist = jnp.broadcast_to(hist, (*bits.shape[:-1], kb - 1))
+    return _encode_with_hist(bits, hist, code)
+
+
+@functools.partial(jax.jit, static_argnames=("code",))
+def _encode_with_hist(
+    bits: jax.Array, hist: jax.Array, code: CodeSpec
+) -> tuple[jax.Array, jax.Array]:
+    """Jitted encode core: (kb-1)-bit history already unpacked to bits.
+
+    Extended sequence: kb-1 history bits (oldest first), then the
+    block's bits.  Window for output t is x[t : t+kb] reversed.
     """
     bits = bits.astype(jnp.int32)
     nbits = bits.shape[-1]
-    encstate = jnp.asarray(encstate, jnp.int32)
-    k = code.k
-
-    # Extended sequence: K-1 history bits from encstate (oldest first),
-    # then the block's bits.  Window for output t is x[t : t+K] reversed.
-    shifts = jnp.arange(k - 2, -1, -1, dtype=jnp.int32)
-    hist = (encstate[..., None] >> shifts) & 1
-    hist = jnp.broadcast_to(hist, (*bits.shape[:-1], k - 1))
-    x = jnp.concatenate([hist, bits], axis=-1)
+    kb = code.kbits
+    x = jnp.concatenate([hist.astype(jnp.int32), bits], axis=-1)
 
     def correlate(poly: int, flip: int) -> jax.Array:
         acc = jnp.zeros_like(bits)
-        for j in _poly_taps(poly, k):
+        for j in _poly_taps(poly, kb):
             # delay j: contribution of input bit from j steps ago
-            acc = acc ^ jax.lax.dynamic_slice_in_dim(x, k - 1 - j, nbits, axis=-1)
+            acc = acc ^ jax.lax.dynamic_slice_in_dim(x, kb - 1 - j, nbits, axis=-1)
         if flip:
             acc = acc ^ 1
         return acc
@@ -91,11 +121,11 @@ def encode_bits(
     s2 = correlate(code.poly2, code.g2flip)
     symbols = jnp.stack([s1, s2], axis=-1).reshape(*bits.shape[:-1], 2 * nbits)
 
-    # Final state: last K input bits, newest in bit 0.  int32 covers every
-    # K<=31 code; wider codes need x64 enabled (CPU/test path).
-    sdtype = jnp.int32 if k <= 31 else jnp.int64
-    weights = sdtype(1) << jnp.arange(k, dtype=sdtype)
-    tail = jax.lax.dynamic_slice_in_dim(x, x.shape[-1] - k, k, axis=-1)
+    # Final state: last kb input bits, newest in bit 0.  int32 covers
+    # every K<=31 code; wider codes need x64 enabled (CPU/test path).
+    sdtype = jnp.int32 if kb <= 31 else jnp.int64
+    weights = sdtype(1) << jnp.arange(kb, dtype=sdtype)
+    tail = jax.lax.dynamic_slice_in_dim(x, x.shape[-1] - kb, kb, axis=-1)
     final_state = (tail[..., ::-1].astype(sdtype) * weights).sum(axis=-1)
     return symbols.astype(jnp.uint8), final_state
 

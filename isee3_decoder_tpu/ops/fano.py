@@ -36,6 +36,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from isee3_decoder_tpu.config import DEFAULT_CODE, CodeSpec
 
@@ -97,9 +98,6 @@ class FanoParams:
         return 8 if jax.default_backend() == "tpu" else 2
 
 
-@functools.partial(
-    jax.jit, static_argnames=("nbits", "code", "params")
-)
 def fano_decode(
     symbols: jax.Array,
     mettab: jax.Array,
@@ -126,22 +124,40 @@ def fano_decode(
 
     Returns a FanoResult; ``goodbits == nbits`` signals success exactly as
     the reference's return value does (fano.c:38,204).
-    """
-    if symbols.ndim == 1:
-        symbols = symbols[None, :]
-    B = symbols.shape[0]
-    N = nbits
-    k = code.k
-    tail_start = N - (k - 1)  # first node of the tail zone (fano.c:66)
-    delta = jnp.int32(params.delta)
-    max_total = jnp.int32(params.maxcycles * nbits)
 
+    Unjitted dispatch wrapper: the split between the packed fast walk
+    (effective width < 30 state bits, e.g. MCQLI-24) and the split-word
+    wide walk (MCQLI32 … J60) must happen BEFORE jit — a wide code's
+    host-int encstate/tailbits would be truncated by jit's int32 scalar
+    conversion.  Both cores are jitted.
+    """
+    if code.kbits + 1 >= 31:
+
+        def pair(v):
+            if isinstance(v, (int, np.integer)):
+                lo, hi = _split64(int(v))
+                return jnp.int32(lo), jnp.int32(hi)
+            # device arrays carry at most the LOW word (no in-repo caller
+            # passes device arrays for a wide code)
+            return jnp.asarray(v, jnp.int32), jnp.zeros((), jnp.int32)
+
+        return _fano_decode_wide(
+            symbols, mettab, nbits, pair(encstate), pair(tailbits),
+            code, params, skip,
+        )
+    return _fano_decode_packed(
+        symbols, mettab, nbits, encstate, tailbits, code, params, skip
+    )
+
+
+def _metrics4(symbols: jax.Array, mettab: jax.Array, nbits: int) -> jax.Array:
+    """(B, nbits, 4) branch metrics per node (fano.c:70-80)."""
+    B = symbols.shape[0]
     mettab = jnp.asarray(mettab, jnp.int32)
-    syms = symbols.astype(jnp.int32).reshape(B, N, 2)
-    # 4-way branch metrics per node (fano.c:70-80)
-    m_s0 = mettab[:, syms[..., 0]]  # (2, B, N)
+    syms = symbols.astype(jnp.int32).reshape(B, nbits, 2)
+    m_s0 = mettab[:, syms[..., 0]]  # (2, B, nbits)
     m_s1 = mettab[:, syms[..., 1]]
-    metrics4 = jnp.stack(
+    return jnp.stack(
         [
             m_s0[0] + m_s1[0],
             m_s0[0] + m_s1[1],
@@ -149,7 +165,31 @@ def fano_decode(
             m_s0[1] + m_s1[1],
         ],
         axis=-1,
-    )  # (B, N, 4)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("nbits", "code", "params"))
+def _fano_decode_packed(
+    symbols: jax.Array,
+    mettab: jax.Array,
+    nbits: int,
+    encstate: int | jax.Array = 0,
+    tailbits: int | jax.Array = 0,
+    code: CodeSpec = DEFAULT_CODE,
+    params: FanoParams = FanoParams(),
+    skip: jax.Array | None = None,
+) -> FanoResult:
+    """The packed single-word walk (see fano_decode)."""
+    if symbols.ndim == 1:
+        symbols = symbols[None, :]
+    B = symbols.shape[0]
+    N = nbits
+    k = code.k
+    kb = code.kbits  # EFFECTIVE state width: unmasked-64-bit-state parity
+    tail_start = N - (k - 1)  # first node of the tail zone (fano.c:66)
+    delta = jnp.int32(params.delta)
+    max_total = jnp.int32(params.maxcycles * nbits)
+    metrics4 = _metrics4(symbols, mettab, N)
 
     start_enc = jnp.broadcast_to(jnp.asarray(encstate, jnp.int32), (B,))
     tailbits = jnp.broadcast_to(jnp.asarray(tailbits, jnp.int32), (B,))
@@ -170,9 +210,10 @@ def fano_decode(
     # with the k-bit polynomials, branch toggles flip bit 0, and the
     # decoded output reads bit 0 per node.  Masking lets the 1-bit
     # branch index (ibr, always 0 or 1 — fano.c:182-186 increments only
-    # from 0) pack into bit k of the same word.
-    assert k + 1 < 31, "encoder+ibr packing needs k+1 int32 bits"
-    encmask = jnp.int32((1 << k) - 1)
+    # from 0) pack into bit kb of the same word.  kb = CodeSpec.kbits,
+    # the EFFECTIVE width: the reference's state is unmasked 64-bit, so
+    # a polynomial longer than K still taps those bits (J50).
+    encmask = jnp.int32((1 << kb) - 1)
     enc0 = (start_enc << 1) & encmask
     lsym0 = _makesyms(enc0, code)
     tm0_r, tm1_r, bit_r = sort_branches(metrics4[:, 0], lsym0)
@@ -268,7 +309,7 @@ def fano_decode(
         g_prev = g4[:, 0]
         tm0_b, tm1_b = g4[:, 1], g4[:, 2]
         e_back = g4[:, 3]
-        enc_back, back_ibr = e_back & encmask, e_back >> k
+        enc_back, back_ibr = e_back & encmask, e_back >> kb
         # forward-lane view
         m4 = g4
 
@@ -376,7 +417,7 @@ def fano_decode(
         w8 = jnp.where(advance, 8 * np_idx, 8 * N)
         sidx = w8[:, None] + jnp.arange(4, dtype=jnp.int32)[None, :]
         svals = jnp.stack(
-            [c.g, c.tm0, c.tm1, (c.ibr << k) | c.enc], axis=1
+            [c.g, c.tm0, c.tm1, (c.ibr << kb) | c.enc], axis=1
         )
         S_next = c.S.at[bidx[:, None], sidx].set(svals)
 
@@ -418,3 +459,287 @@ def fano_decode(
     bits = jnp.where(valid, bits, 0).astype(jnp.uint8)
     metric = final.g  # the current node's path metric rides in registers
     return FanoResult(bits=bits, goodbits=goodbits, metric=metric, cycles=final.cycles)
+
+
+def _split64(v) -> tuple[int, int]:
+    """Host split of an arbitrary-precision int into two SIGNED int32
+    words (lo = bits 0..31, hi = bits 32..63) for device bitwise math."""
+    v = int(v) & ((1 << 64) - 1)
+
+    def signed(x):
+        return x - (1 << 32) if x >= (1 << 31) else x
+
+    return signed(v & 0xFFFFFFFF), signed(v >> 32)
+
+
+@functools.partial(jax.jit, static_argnames=("nbits", "code", "params"))
+def _fano_decode_wide(
+    symbols: jax.Array,
+    mettab: jax.Array,
+    nbits: int,
+    enc_pair: tuple[jax.Array, jax.Array],
+    tail_pair: tuple[jax.Array, jax.Array],
+    code: CodeSpec,
+    params: FanoParams,
+    skip: jax.Array | None,
+) -> FanoResult:
+    """The register-carried Fano walk for K>30 codes (MCQLI32 … J60).
+
+    Identical control flow to the packed fast path, but the encoder-state
+    hypothesis is carried as TWO int32 words (lo = bits 0..31, hi = bits
+    32..63) — the split-word form of fano.c's ``unsigned long long``
+    state (fano.c:13-19) — and ibr gets its own tape field.  Tape records
+    are stride 10: [gamma, tm0, tm1, enc_lo, enc_hi, ibr, metrics4[0..3]];
+    each micro-step costs one mode-selected 6-wide gather and one 6-wide
+    push scatter (vs 4-wide on the packed path — the price of 30 more
+    state bits).  Not the perf path: the mission code is MCQLI-24.
+
+    enc_pair / tail_pair are (lo, hi) int32 scalar-array pairs split
+    host-side by the fano_decode wrapper (jit would truncate wide ints).
+    """
+    if symbols.ndim == 1:
+        symbols = symbols[None, :]
+    B = symbols.shape[0]
+    metrics4 = _metrics4(symbols, mettab, nbits)
+    N = nbits
+    k = code.k
+    kb = code.kbits
+    assert kb <= 60, "split-word walk carries at most 60 encoder bits"
+    tail_start = N - (k - 1)
+    delta = jnp.int32(params.delta)
+    max_total = jnp.int32(params.maxcycles * nbits)
+    bidx = jnp.arange(B)
+
+    # masks and polynomial words (host-side splits of k-bit constants)
+    mask_lo, mask_hi = _split64((1 << kb) - 1)
+    p1lo, p1hi = _split64(code.poly1)
+    p2lo, p2hi = _split64(code.poly2)
+
+    def makesyms2(lo, hi):
+        s1 = ((_parity(lo & p1lo) ^ _parity(hi & p1hi)) << 1) ^ code.g1flip
+        s2 = _parity(lo & p2lo) ^ _parity(hi & p2hi) ^ code.g2flip
+        return s1 | s2
+
+    def shl1(lo, hi):
+        carry = (lo >> 31) & 1
+        return (lo << 1) & mask_lo, ((hi << 1) | carry) & mask_hi
+
+    def as_pair(v):
+        lo, hi = v
+        return (
+            jnp.broadcast_to(jnp.asarray(lo, jnp.int32), (B,)),
+            jnp.broadcast_to(jnp.asarray(hi, jnp.int32), (B,)),
+        )
+
+    start_lo, start_hi = as_pair(enc_pair)
+    tail_lo, tail_hi = as_pair(tail_pair)
+
+    def sort_branches(node_metrics, lsym):
+        m0 = node_metrics[bidx, lsym]
+        m1 = node_metrics[bidx, 3 ^ lsym]
+        better1 = m1 >= m0
+        tm0 = jnp.where(better1, m1, m0)
+        tm1 = jnp.where(better1, m0, m1)
+        return tm0, tm1, better1.astype(jnp.int32)
+
+    def sel4(m4, s):
+        lo = jnp.where((s & 1) == 1, m4[:, 1], m4[:, 0])
+        hi = jnp.where((s & 1) == 1, m4[:, 3], m4[:, 2])
+        return jnp.where((s >> 1) & 1 == 1, hi, lo)
+
+    enc0_lo, enc0_hi = shl1(start_lo, start_hi)
+    lsym0 = makesyms2(enc0_lo, enc0_hi)
+    tm0_r, tm1_r, bit_r = sort_branches(metrics4[:, 0], lsym0)
+
+    STRIDE = 10
+    m4pad = jnp.concatenate(
+        [metrics4.astype(jnp.int32), jnp.zeros((B, 1, 4), jnp.int32)], axis=1
+    )
+    S = jnp.concatenate(
+        [jnp.zeros((B, N + 1, 6), jnp.int32), m4pad], axis=-1
+    ).reshape(B, STRIDE * (N + 1))
+
+    class CarryW(NamedTuple):
+        np_idx: jax.Array
+        t: jax.Array
+        cycles: jax.Array
+        mode: jax.Array
+        done: jax.Array
+        g: jax.Array
+        tm0: jax.Array
+        tm1: jax.Array
+        enc_lo: jax.Array
+        enc_hi: jax.Array
+        ibr: jax.Array
+        S: jax.Array
+
+    zero = jnp.zeros((B,), jnp.int32)
+    init = CarryW(
+        np_idx=zero,
+        t=zero,
+        cycles=zero,
+        mode=zero,
+        done=(
+            jnp.zeros((B,), bool)
+            if skip is None
+            else jnp.broadcast_to(jnp.asarray(skip, bool), (B,))
+        ),
+        g=zero,
+        tm0=tm0_r,
+        tm1=tm1_r,
+        enc_lo=enc0_lo | bit_r,
+        enc_hi=enc0_hi,
+        ibr=zero,
+        S=S,
+    )
+
+    def cond(c: CarryW):
+        return ~jnp.all(c.done)
+
+    def body(c: CarryW) -> CarryW:
+        np_idx, t = c.np_idx, c.t
+        fwd = (c.mode == 0) & ~c.done
+        bwd = (c.mode == 1) & ~c.done
+
+        back_np = np_idx - 1
+        back_np_c = jnp.maximum(back_np, 0)
+        new_np = np_idx + 1
+        # mode-selected 6-wide gather: forward lanes read fields 4..9 of
+        # the next node (hi, ibr, metrics4), backtrack lanes fields 0..5
+        # of the back record (g, tm0, tm1, lo, hi, ibr)
+        gbase = jnp.where(
+            fwd, STRIDE * jnp.clip(new_np, 0, N - 1) + 4, STRIDE * back_np_c
+        )
+        gidx = gbase[:, None] + jnp.arange(6, dtype=jnp.int32)[None, :]
+        g6 = jnp.take_along_axis(c.S, gidx, axis=1)
+        # backtrack-lane view
+        g_prev = g6[:, 0]
+        tm0_b, tm1_b = g6[:, 1], g6[:, 2]
+        lo_back, hi_back, back_ibr = g6[:, 3], g6[:, 4], g6[:, 5]
+        # forward-lane view
+        m4 = g6[:, 2:6]
+
+        # ---------- forward look (fano.c:117-166) ----------
+        tm_np = jnp.where(c.ibr == 0, c.tm0, c.tm1)
+        ngamma = c.g + tm_np
+        ok = ngamma >= t
+        tighten = ok & (c.g < t + delta)
+        t_fwd = jnp.where(tighten, t + delta * ((ngamma - t) // delta), t)
+        at_last = np_idx == (N - 1)
+        newly_done = fwd & ok & at_last
+        advance = fwd & ok & ~at_last
+
+        adv_lo, adv_hi = shl1(c.enc_lo, c.enc_hi)
+        lsym = makesyms2(adv_lo, adv_hi)
+
+        # tail zone (fano.c:141-147) — tail bit j may live in either word
+        in_tail = new_np >= tail_start
+        j = jnp.clip(N - new_np - 1, 0, 63)
+        tbit = jnp.where(
+            j < 32,
+            (tail_lo >> jnp.clip(j, 0, 31)) & 1,
+            (tail_hi >> jnp.clip(j - 32, 0, 31)) & 1,
+        )
+        tail_tm0 = sel4(m4, (tbit * 3) ^ lsym)
+
+        m0 = sel4(m4, lsym)
+        m1 = sel4(m4, 3 ^ lsym)
+        better1 = m1 >= m0
+        sort_tm0 = jnp.where(better1, m1, m0)
+        sort_tm1 = jnp.where(better1, m0, m1)
+        sort_bit = jnp.where(better1, 1, 0)
+
+        adv_tm0 = jnp.where(in_tail, tail_tm0, sort_tm0)
+        adv_tm1 = jnp.where(in_tail, tail_tm0, sort_tm1)
+        adv_bit = jnp.where(in_tail, tbit, sort_bit)
+
+        to_bwd = fwd & ~ok
+
+        # ---------- one backtrack step (fano.c:169-188) ----------
+        cant_back = (np_idx == 0) | (g_prev < t)
+        relax = bwd & cant_back
+        stepback = bwd & ~cant_back
+        can_try = (back_np < tail_start) & (back_ibr != 1)
+        toggle_next = stepback & can_try
+        relax_flip = relax & (c.ibr != 0)
+
+        # ---------- merge updates ----------
+        np_next = jnp.where(advance, new_np, jnp.where(stepback, back_np, np_idx))
+        t_next = jnp.where(fwd & ok, t_fwd, jnp.where(relax, t - delta, t))
+        mode_next = jnp.where(to_bwd, 1, jnp.where(relax | toggle_next, 0, c.mode))
+        done_next = c.done | newly_done
+        cycles_next = c.cycles + fwd.astype(jnp.int32)
+        timeout = ~done_next & (cycles_next >= max_total) & (mode_next == 0)
+        done_next = done_next | timeout
+
+        # ---------- register updates ----------
+        g_next = jnp.where(advance, ngamma, jnp.where(stepback, g_prev, c.g))
+        tm0_next = jnp.where(advance, adv_tm0, jnp.where(stepback, tm0_b, c.tm0))
+        tm1_next = jnp.where(advance, adv_tm1, jnp.where(stepback, tm1_b, c.tm1))
+        lo_next = jnp.where(
+            advance,
+            adv_lo | adv_bit,
+            jnp.where(
+                toggle_next,
+                lo_back ^ 1,
+                jnp.where(
+                    stepback, lo_back, jnp.where(relax_flip, c.enc_lo ^ 1, c.enc_lo)
+                ),
+            ),
+        )
+        hi_next = jnp.where(
+            advance, adv_hi, jnp.where(stepback, hi_back, c.enc_hi)
+        )
+        ibr_next = jnp.where(
+            advance,
+            0,
+            jnp.where(
+                toggle_next,
+                back_ibr + 1,
+                jnp.where(stepback, back_ibr, jnp.where(relax, 0, c.ibr)),
+            ),
+        )
+
+        # 6-wide push scatter (advancing lanes write their slot, everyone
+        # else the dump node)
+        w = jnp.where(advance, STRIDE * np_idx, STRIDE * N)
+        sidx = w[:, None] + jnp.arange(6, dtype=jnp.int32)[None, :]
+        svals = jnp.stack(
+            [c.g, c.tm0, c.tm1, c.enc_lo, c.enc_hi, c.ibr], axis=1
+        )
+        S_next = c.S.at[bidx[:, None], sidx].set(svals)
+
+        return CarryW(
+            np_idx=np_next,
+            t=t_next,
+            cycles=cycles_next,
+            mode=mode_next,
+            done=done_next,
+            g=g_next,
+            tm0=tm0_next,
+            tm1=tm1_next,
+            enc_lo=lo_next,
+            enc_hi=hi_next,
+            ibr=ibr_next,
+            S=S_next,
+        )
+
+    def body_unrolled(c: CarryW) -> CarryW:
+        for _ in range(params.resolved_unroll()):
+            c = body(c)
+        return c
+
+    final = jax.lax.while_loop(cond, body_unrolled, init)
+
+    node_ids = jnp.arange(N, dtype=jnp.int32)[None, :]
+    bits = jnp.where(
+        node_ids == final.np_idx[:, None],
+        (final.enc_lo & 1)[:, None],
+        final.S[:, 3 : STRIDE * N : STRIDE] & 1,
+    ).astype(jnp.uint8)
+    goodbits = final.np_idx + 1
+    valid = jnp.arange(N, dtype=jnp.int32)[None, :] < ((goodbits // 8) * 8)[:, None]
+    bits = jnp.where(valid, bits, 0).astype(jnp.uint8)
+    return FanoResult(
+        bits=bits, goodbits=goodbits, metric=final.g, cycles=final.cycles
+    )

@@ -48,6 +48,11 @@ def sync_correlate(
     """
     if symbols.ndim == 1:
         symbols = symbols[None, :]
+    if symbols.shape[-1] < npos + SYNCBITS - 1:
+        raise ValueError(
+            f"sync_correlate needs symbols length >= npos + SYNCBITS - 1"
+            f" = {npos + SYNCBITS - 1}, got {symbols.shape[-1]}"
+        )
     taps = sync_taps(code)  # host-side ±1 — signs bake into adds/subs
     s = symbols.astype(jnp.int32) - 128
     # SYNCBITS static shifted adds instead of a (B, npos, SYNCBITS)
