@@ -17,6 +17,12 @@ def main(argv=None) -> int:
     p.add_argument("-r", type=float, default=250000.0, dest="samprate")
     p.add_argument("-o", type=int, default=0, dest="begin")
     p.add_argument("-t", type=float, default=5.0, dest="clock_tolerance")
+    p.add_argument(
+        "--no-plots",
+        action="store_true",
+        help="suppress the per-acquisition sync.N.plot correlation dumps"
+        " the reference writes unconditionally (icesync.c:173-186)",
+    )
     p.add_argument("input")
     a = p.parse_args(argv)
 
@@ -29,7 +35,8 @@ def main(argv=None) -> int:
         f"{len(samples) / a.samprate:,.3f} seconds @ {a.samprate:.1f} Hz"
     )
     frames = icesync_frames(
-        samples, a.samprate, a.symrate, a.clock_tolerance
+        samples, a.samprate, a.symrate, a.clock_tolerance,
+        plot_dir=None if a.no_plots else ".",
     )
     for n, fr in enumerate(frames, start=1):
         t = fr.start_sample / a.samprate

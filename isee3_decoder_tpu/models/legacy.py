@@ -227,14 +227,28 @@ def fft_sync_search(
     template: np.ndarray,
     low: int,
     high: int,
+    plot_path: str | None = None,
 ) -> int | None:
     """FFT cross-correlation sync search (fft_sync_search,
-    icesync.c:145-208): returns the peak lag in [low, high) or None."""
+    icesync.c:145-208): returns the peak lag in [low, high) or None.
+
+    When ``plot_path`` is set the full correlation array is dumped in
+    the reference's plot format (icesync.c:173-186: ``signed double``
+    header + one ``dot i value`` line per lag).  The reference only
+    dumps ACQUISITION searches (icesync.c:296 passes the sample offset,
+    the tracking search at :314 passes -1)."""
     n = len(samples)
     size = 1 << int(np.ceil(np.log2(n + len(template))))
     fa = np.fft.rfft(samples, size)
     fb = np.fft.rfft(template, size)
     corr = np.fft.irfft(fa * np.conj(fb), size)
+    if plot_path is not None:
+        with open(plot_path, "w") as plot:
+            plot.write("signed double\n")
+            # FFTW's inverse transform is unnormalized (factor Corr_size
+            # vs numpy's normalized irfft) — scale for value parity
+            for i, v in enumerate(corr * size):
+                plot.write(f"dot {i} {v:f}\n")
     high = min(high, size)
     if not np.any(samples):
         return None
@@ -260,6 +274,7 @@ def icesync_frames(
     clock_tolerance: float = 5.0,
     max_frames: int | None = None,
     code: CodeSpec = DEFAULT_CODE,
+    plot_dir: str | None = None,
 ) -> list[IcesyncFrame]:
     """Whole-file frame sync + block Viterbi decode (icesync.c:211-411).
 
@@ -268,7 +283,12 @@ def icesync_frames(
     at fixed boundaries (int truncation, icesync.c:347-359), decodes with
     known 0x819fbe boundary states, and estimates Eb/N0 from re-encode
     symbol errors.
+
+    ``plot_dir``: when set, each acquisition search dumps its full
+    correlation as ``sync.<begin>.plot`` there, like the reference's
+    unconditional cwd dumps (icesync.c:173-186).
     """
+    import os
     samples = np.asarray(samples, np.int64)
     symbolsamples = samprate / symrate
     framesamples = symbolsamples * 2 * FRAMEBITS
@@ -286,6 +306,11 @@ def icesync_frames(
             s = fft_sync_search(
                 samples[begin : begin + int(2 * framesamples)], template,
                 0, int(framesamples),
+                plot_path=(
+                    os.path.join(plot_dir, f"sync.{begin}.plot")
+                    if plot_dir is not None
+                    else None
+                ),
             )
             if s is None:
                 begin += int(framesamples)

@@ -95,9 +95,23 @@ def test_icesync_frames_synthetic_baseband():
     symbolsamples = samprate / symrate
     wave = testsignal.manchester_waveform(syms, symbolsamples)
     samples = (60.0 * wave + rng.normal(0, 8, len(wave))).astype(np.int64)
-    out = legacy.icesync_frames(
-        samples, samprate=samprate, symrate=symrate, max_frames=2
-    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        out = legacy.icesync_frames(
+            samples, samprate=samprate, symrate=symrate, max_frames=2,
+            plot_dir=td,
+        )
+        # acquisition dumps sync.<begin>.plot in the reference's format
+        # (icesync.c:173-186): "signed double" header + "dot i value"
+        import os
+
+        plots = [f for f in os.listdir(td) if f.startswith("sync.")]
+        assert plots, "no sync.N.plot dump written"
+        lines = open(os.path.join(td, sorted(plots)[0])).read().splitlines()
+        assert lines[0] == "signed double"
+        assert lines[1].startswith("dot 0 ")
+        assert len(lines) >= 2 + 1024
     assert len(out) >= 1
     matched = sum(
         1 for fr in out if any(np.array_equal(fr.data, f) for f in frames)
