@@ -303,8 +303,11 @@ def icesync_frames(
         max_frames is None or len(out) < max_frames
     ):
         if startsync is None:
+            # the reference correlates exactly Framesamples of input
+            # (icesync.c:153-161), zero-padding beyond — syncs whose
+            # template run is clipped by that edge score accordingly
             s = fft_sync_search(
-                samples[begin : begin + int(2 * framesamples)], template,
+                samples[begin : begin + int(framesamples)], template,
                 0, int(framesamples),
                 plot_path=(
                     os.path.join(plot_dir, f"sync.{begin}.plot")
@@ -320,7 +323,7 @@ def icesync_frames(
         low = int(0.5 * framesamples - clock_tolerance)
         high = int(0.5 * framesamples + clock_tolerance)
         e = fft_sync_search(
-            samples[start : start + int(2 * framesamples)], template, low, high
+            samples[start : start + int(framesamples)], template, low, high
         )
         if e is None:
             begin = startsync + int(framesamples)

@@ -114,6 +114,150 @@ int main(int argc, char **argv) {
 }
 """
 
+# A minimal double-precision FFTW3 API shim (NEW code, not FFTW) so the
+# FFTW-linked reference programs (pmdemod, icesync, autocorrelate) can be
+# compiled as golden oracles without libfftw3 (VERDICT r3 missing #2).
+# Covers exactly the surface the reference uses: alloc_complex/real,
+# plan_dft_1d (c2c), plan_dft_r2c_1d / c2r_1d, execute, destroy_plan,
+# free, import_system_wisdom.  FFTW conventions: FORWARD = exp(-i2pijk/n),
+# all transforms unnormalized, r2c emits n/2+1 bins.  Power-of-two sizes
+# use an iterative radix-2 Cooley-Tukey; anything else falls back to a
+# naive O(n^2) DFT (correct, slow — reference FFT sizes are pow2).
+FFTW_SHIM_H = r"""
+#ifndef FFTW_SHIM_H
+#define FFTW_SHIM_H
+#include <stddef.h>
+/* reference sources include <complex.h> first (pmdemod.c:16) */
+typedef double _Complex fftw_complex;
+typedef struct fftw_plan_s *fftw_plan;
+#define FFTW_FORWARD (-1)
+#define FFTW_BACKWARD (+1)
+#define FFTW_ESTIMATE (1U << 6)
+#define FFTW_MEASURE (0U)
+fftw_complex *fftw_alloc_complex(size_t n);
+double *fftw_alloc_real(size_t n);
+void *fftw_malloc(size_t n);
+void fftw_free(void *p);
+void fftw_import_system_wisdom(void);
+fftw_plan fftw_plan_dft_1d(int n, fftw_complex *in, fftw_complex *out,
+                           int sign, unsigned flags);
+fftw_plan fftw_plan_dft_r2c_1d(int n, double *in, fftw_complex *out,
+                               unsigned flags);
+fftw_plan fftw_plan_dft_c2r_1d(int n, fftw_complex *in, double *out,
+                               unsigned flags);
+void fftw_execute(fftw_plan p);
+void fftw_destroy_plan(fftw_plan p);
+#endif
+"""
+
+FFTW_SHIM_C = r"""
+#include <complex.h>
+#include <math.h>
+#include <stdlib.h>
+#include <string.h>
+#include "fftw3.h"
+
+struct fftw_plan_s {
+  int n, sign, kind; /* kind: 0 = c2c, 1 = r2c, 2 = c2r */
+  void *in, *out;
+  double complex *work;
+};
+
+fftw_complex *fftw_alloc_complex(size_t n) {
+  return malloc(n * sizeof(fftw_complex));
+}
+double *fftw_alloc_real(size_t n) { return malloc(n * sizeof(double)); }
+void *fftw_malloc(size_t n) { return malloc(n); }
+void fftw_free(void *p) { free(p); }
+void fftw_import_system_wisdom(void) {}
+
+static fftw_plan mkplan(int n, int sign, int kind, void *in, void *out) {
+  fftw_plan p = malloc(sizeof(*p));
+  p->n = n; p->sign = sign; p->kind = kind; p->in = in; p->out = out;
+  p->work = malloc(n * sizeof(double complex));
+  return p;
+}
+fftw_plan fftw_plan_dft_1d(int n, fftw_complex *in, fftw_complex *out,
+                           int sign, unsigned flags) {
+  (void)flags; return mkplan(n, sign, 0, in, out);
+}
+fftw_plan fftw_plan_dft_r2c_1d(int n, double *in, fftw_complex *out,
+                               unsigned flags) {
+  (void)flags; return mkplan(n, FFTW_FORWARD, 1, in, out);
+}
+fftw_plan fftw_plan_dft_c2r_1d(int n, fftw_complex *in, double *out,
+                               unsigned flags) {
+  (void)flags; return mkplan(n, FFTW_BACKWARD, 2, in, out);
+}
+void fftw_destroy_plan(fftw_plan p) {
+  if (p) { free(p->work); free(p); }
+}
+
+/* unnormalized DFT of x (length n) in place; sign -1 forward */
+static void dft(double complex *x, int n, int sign) {
+  if ((n & (n - 1)) == 0) { /* iterative radix-2 */
+    int i, j, len;
+    for (i = 1, j = 0; i < n; i++) { /* bit-reverse permutation */
+      int bit = n >> 1;
+      for (; j & bit; bit >>= 1) j ^= bit;
+      j ^= bit;
+      if (i < j) { double complex t = x[i]; x[i] = x[j]; x[j] = t; }
+    }
+    for (len = 2; len <= n; len <<= 1) {
+      double ang = sign * 2.0 * M_PI / len;
+      double complex wl = cos(ang) + I * sin(ang);
+      for (i = 0; i < n; i += len) {
+        double complex w = 1.0;
+        for (j = 0; j < len / 2; j++) {
+          double complex u = x[i + j], v = x[i + j + len / 2] * w;
+          x[i + j] = u + v;
+          x[i + j + len / 2] = u - v;
+          w *= wl;
+        }
+      }
+    }
+  } else { /* naive fallback for non-pow2 */
+    double complex *tmp = malloc(n * sizeof(double complex));
+    int k, t;
+    for (k = 0; k < n; k++) {
+      double complex acc = 0;
+      for (t = 0; t < n; t++) {
+        double ang = sign * 2.0 * M_PI * (double)k * (double)t / n;
+        acc += x[t] * (cos(ang) + I * sin(ang));
+      }
+      tmp[k] = acc;
+    }
+    memcpy(x, tmp, n * sizeof(double complex));
+    free(tmp);
+  }
+}
+
+void fftw_execute(fftw_plan p) {
+  int n = p->n, i;
+  if (p->kind == 0) { /* c2c */
+    memcpy(p->work, p->in, n * sizeof(double complex));
+    dft(p->work, n, p->sign);
+    memcpy(p->out, p->work, n * sizeof(double complex));
+  } else if (p->kind == 1) { /* r2c: n reals -> n/2+1 bins */
+    const double *in = p->in;
+    double complex *out = p->out;
+    for (i = 0; i < n; i++) p->work[i] = in[i];
+    dft(p->work, n, -1);
+    for (i = 0; i <= n / 2; i++) out[i] = p->work[i];
+  } else { /* c2r: n/2+1 bins -> n reals, hermitian-extended */
+    const double complex *in = p->in;
+    double *out = p->out;
+    p->work[0] = in[0];
+    for (i = 1; i <= n / 2; i++) {
+      p->work[i] = in[i];
+      if (i < n - i) p->work[n - i] = conj(in[i]);
+    }
+    dft(p->work, n, +1);
+    for (i = 0; i < n; i++) out[i] = creal(p->work[i]);
+  }
+}
+"""
+
 PROGRAMS = {
     "symdemod": (["symdemod.c", "timeformat.c"], ["-lm"]),
     "decode_sse": (
@@ -128,14 +272,24 @@ PROGRAMS = {
     "framer": (["framer.c", "timeformat.c"], []),
     "vdecode_sse": (["vdecode.c", "viterbi224_sse2.c", "timeformat.c"], ["-lm"]),
     "gensine": (["gensine.c"], ["-lm"]),
+    # FFTW-linked programs, built against the shim (VERDICT r3 missing #2)
+    "pmdemod": (["pmdemod.c", "timeformat.c", "FFTW_SHIM"], ["-lm"]),
+    "icesync": (  # Makefile:59 link line + the shim
+        ["icesync.c", "viterbi224_sse2.c", "encode.c", "fano.c", "metrics.c",
+         "FFTW_SHIM"],
+        ["-lm"],
+    ),
+    "autocorrelate": (["autocorrelate.c", "FFTW_SHIM"], ["-lm"]),
+    "spindown": (["spindown.c", "timeformat.c", "FFTW_SHIM"], ["-lm"]),
 }
 
 
 def _write_stub_headers(incdir: Path) -> None:
     incdir.mkdir(parents=True, exist_ok=True)
-    # gensine.c includes fftw3.h but never calls FFTW (Makefile links it
-    # with only -lm); an empty stub satisfies the include.
-    (incdir / "fftw3.h").write_text("/* stub: gensine.c needs no FFTW */\n")
+    # the shim header satisfies every reference fftw3.h user, from
+    # gensine (includes, never calls) to pmdemod/icesync (full surface)
+    (incdir / "fftw3.h").write_text(FFTW_SHIM_H)
+    (incdir / "fftw_shim.c").write_text(FFTW_SHIM_C)
 
 
 def golden_bin(name: str) -> Path:
@@ -173,7 +327,10 @@ def golden_bin(name: str) -> Path:
         srcs, libs = [str(src), str(REF / "encode.c")], []
     else:
         files, libs = PROGRAMS[name]
-        srcs = [str(REF / f) for f in files]
+        srcs = [
+            str(incdir / "fftw_shim.c") if f == "FFTW_SHIM" else str(REF / f)
+            for f in files
+        ]
 
     cmd = (
         ["gcc", *CFLAGS, *extra_cflags, f"-I{REF}", f"-I{incdir}",
