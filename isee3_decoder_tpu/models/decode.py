@@ -81,9 +81,17 @@ def batch_shape_bounded(fn, fsyms, chunk: int = 4):
 
 def _viterbi_decode(fsyms, cfg: "DecodeConfig"):
     """Dispatch the frame decode to the configured Viterbi kernel, in
-    shape-bounded chunks (see batch_shape_bounded)."""
-    if fsyms.shape[0] not in (1, 2, 4):
-        return batch_shape_bounded(lambda part: _viterbi_decode(part, cfg), fsyms)
+    shape-bounded chunks (see batch_shape_bounded).
+
+    The fused kernel's planes decision path holds ONE tape copy
+    (~1 MB/bit/frame at K=24), so 8 full frames in flight fit a 16 GB
+    v5e — chunk 8 halves the number of fallback dispatches vs the old
+    relayout-bound chunk 4."""
+    chunk = 8 if cfg.viterbi_backend == "fused" else 4
+    if fsyms.shape[0] not in (1, 2, chunk):
+        return batch_shape_bounded(
+            lambda part: _viterbi_decode(part, cfg), fsyms, chunk
+        )
     if cfg.viterbi_backend == "fused":
         from isee3_decoder_tpu.ops.viterbi_pallas_fused import decode_frame_fused
 

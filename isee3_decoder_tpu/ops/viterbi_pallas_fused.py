@@ -382,50 +382,49 @@ def cycle_b(
     )
 
 
-def _check_decision_budget(B: int, nbits: int, n: int) -> None:
+def _check_decision_budget(
+    B: int, nbits: int, n: int, copies: int = 2
+) -> None:
     """Fail loudly instead of wedging the backend on oversized batches.
 
     The decision tape costs n/8 bytes per bit per frame (1 MB/bit at
-    K=24) and the post-scan (ncycles, B, w, …) → (nbits, B, …) relayout
-    transiently holds a second copy: peak ≈ 2·B·nbits·n/8 bytes.  At
-    K=24 a B=8 1024-bit decode wants ~16 GB — beyond a v5e's HBM, which
-    is what "wedged" the tunneled backend in round 1 (ROADMAP).  B=4
-    (~8 GB peak) fits.  Callers with more frames than the budget allows
-    should chunk the batch (models/decode.batch_shape_bounded does).
+    K=24).  The legacy flat layout's post-scan (ncycles, B, w, …) →
+    (nbits, B, …) relayout transiently holds a second copy (copies=2);
+    the planes path (update_frame_fused_planes + chainback_planes)
+    consumes the scan-native layout directly (copies=1).  At K=24 a
+    B=8 1024-bit flat decode wants ~16 GB — beyond a v5e's HBM, which
+    is what "wedged" the tunneled backend in round 1 (ROADMAP); on the
+    planes path B=8 is ~8.6 GB and fits.  Callers with more frames than
+    the budget allows should chunk the batch
+    (models/decode.batch_shape_bounded does).
     """
     import os
 
-    # default sits between the empirically-working B=4 (peak ~8.6 GB on
-    # a 16 GB v5e) and the wedging B=8 (~17 GB)
     budget = int(os.environ.get("ISEE3_FUSED_DEC_BYTES", str(12 * 1024**3)))
-    peak = 2 * B * nbits * (n // 8)
+    peak = copies * B * nbits * (n // 8)
     if peak > budget:
         raise ValueError(
             f"fused Viterbi decision memory ~{peak / 1e9:.1f} GB "
             f"(B={B}, nbits={nbits}, {n} states) exceeds the "
             f"{budget / 1e9:.1f} GB budget — chunk the batch (e.g. "
-            f"B<={max(budget // (2 * nbits * (n // 8)), 1)}) or raise "
+            f"B<={max(budget // (copies * nbits * (n // 8)), 1)}) or raise "
             f"ISEE3_FUSED_DEC_BYTES if the device has the HBM"
         )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("nbits", "code", "ta", "rb", "interpret"),
-)
-def update_frame_fused(
+def _update_frame_planes(
     metrics0: jax.Array,
     syms: jax.Array,
     nbits: int,
-    code: CodeSpec = DEFAULT_CODE,
-    ta: int = 8192,
-    rb: int = 8,
-    interpret: bool = False,
-) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """nbits ACS steps via fused cycle kernels; same contract as
-    viterbi_inplace.update_frame_inplace."""
+    code: CodeSpec,
+    ta: int,
+    rb: int,
+    interpret: bool,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Shared ACS body: returns decisions in the SCAN-NATIVE layout —
+    (ncycles, B, w, n//32) whole-cycle planes plus a (B, rem, n//32)
+    remainder — with no relayout copy.  (m, decs4, rem_dec, total)."""
     B, n = metrics0.shape
-    _check_decision_budget(B, nbits, n)
     w, rowb, colb = _geometry(code)
     if syms.ndim == 1:
         syms = syms[None, :]
@@ -464,14 +463,12 @@ def update_frame_fused(
     if ncycles > 0:
         cyc_syms = flat[:, : 2 * ncycles * w].reshape(B, ncycles, 2 * w)
         cyc_syms = jnp.swapaxes(cyc_syms, 0, 1)  # (ncycles, B, 2w)
-        (m, total, base), decs = jax.lax.scan(
+        (m, total, base), decs4 = jax.lax.scan(
             one_cycle, (metrics0, total0, base0), cyc_syms
         )
-        # decs: (ncycles, B, w, n//32) → (ncycles*w, B, n//32)
-        decs = jnp.swapaxes(decs, 1, 2).reshape(ncycles * w, B, n // 32)
     else:
         m, total, base = metrics0, total0, base0
-        decs = jnp.zeros((0, B, n // 32), jnp.uint32)
+        decs4 = jnp.zeros((0, B, w, n // 32), jnp.uint32)
 
     if rem:
         start = 2 * ncycles * w
@@ -494,14 +491,142 @@ def update_frame_fused(
             parts.append(decb)
         m, total = renorm(m, total)
         rem_dec = jnp.concatenate(parts, axis=1)  # (B, rem, n//32)
-        decs = jnp.concatenate(
-            [decs, jnp.swapaxes(rem_dec, 0, 1)], axis=0
-        )
     else:
         # apply the last pending base so returned metrics are renormed
         m = (m.astype(jnp.int32) - base[:, None]).astype(m.dtype)
         total = total + base
+        rem_dec = jnp.zeros((B, 0, n // 32), jnp.uint32)
+    return m, decs4, rem_dec, total
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nbits", "code", "ta", "rb", "interpret"),
+)
+def update_frame_fused(
+    metrics0: jax.Array,
+    syms: jax.Array,
+    nbits: int,
+    code: CodeSpec = DEFAULT_CODE,
+    ta: int = 8192,
+    rb: int = 8,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """nbits ACS steps via fused cycle kernels; same contract as
+    viterbi_inplace.update_frame_inplace.
+
+    Emits the FLAT (nbits, B, n//32) decision layout, which costs a
+    transient second tape copy in the relayout — streaming callers need
+    it for the circular tape.  Frame decodes should prefer
+    update_frame_fused_planes + chainback_planes (half the peak HBM).
+    """
+    B, n = metrics0.shape
+    _check_decision_budget(B, nbits, n, copies=2)
+    w = code.k - 1
+    m, decs4, rem_dec, total = _update_frame_planes(
+        metrics0, syms, nbits, code, ta, rb, interpret
+    )
+    ncycles = nbits // w
+    decs = (
+        jnp.swapaxes(decs4, 1, 2).reshape(ncycles * w, B, n // 32)
+        if ncycles
+        else jnp.zeros((0, B, n // 32), jnp.uint32)
+    )
+    if rem_dec.shape[1]:
+        decs = jnp.concatenate(
+            [decs, jnp.swapaxes(rem_dec, 0, 1)], axis=0
+        )
     return m, decs, total
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nbits", "code", "ta", "rb", "interpret"),
+)
+def update_frame_fused_planes(
+    metrics0: jax.Array,
+    syms: jax.Array,
+    nbits: int,
+    code: CodeSpec = DEFAULT_CODE,
+    ta: int = 8192,
+    rb: int = 8,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """update_frame_fused without the flat relayout: decisions stay in
+    the scan-native (ncycles, B, w, n//32) + (B, rem, n//32) layout that
+    chainback_planes consumes directly.  Peak decision memory is ONE
+    tape (B·nbits·n/8 bytes) instead of two — B=8 full K=24 frames fit
+    a 16 GB v5e (~8.6 GB) where the flat path OOMed."""
+    B, n = metrics0.shape
+    _check_decision_budget(B, nbits, n, copies=1)
+    return _update_frame_planes(metrics0, syms, nbits, code, ta, rb, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("nbits", "code"))
+def chainback_planes(
+    decs4: jax.Array,
+    rem_dec: jax.Array,
+    nbits: int,
+    endstate: int | jax.Array,
+    code: CodeSpec = DEFAULT_CODE,
+) -> jax.Array:
+    """Traceback reading the scan-native decision layout directly.
+
+    decs4: (ncycles, B, w, n//32) whole-cycle planes; rem_dec:
+    (B, rem, n//32) tail planes.  Same walk as
+    viterbi_inplace.chainback_inplace (plane t is in P_{t+1} layout);
+    the plane for step t of a whole cycle is decs4[t//w, :, t%w].
+    """
+    from isee3_decoder_tpu.ops.viterbi_inplace import _pos_bit
+
+    w = code.k - 1
+    k = code.k
+    ncycles = decs4.shape[0]
+    rem = rem_dec.shape[1]
+    assert ncycles * w + rem == nbits
+    B = rem_dec.shape[0] if rem else decs4.shape[1]
+    s = jnp.broadcast_to(
+        jnp.asarray(endstate, jnp.uint32) & code.state_mask, (B,)
+    ).astype(jnp.int32)
+
+    desc_bits = []  # bits in descending-t order
+    # remainder planes: static t, direct indexing (at most w-1 steps)
+    for j in range(rem - 1, -1, -1):
+        t = ncycles * w + j
+        r = (t + 1) % w
+        p = ((s >> r) | (s << (w - r))) & (2**w - 1)
+        desc_bits.append((s & 1).astype(jnp.uint8))
+        bit = _pos_bit(rem_dec[:, j], p).astype(jnp.int32)
+        s = (bit << (k - 2)) | (s >> 1)
+
+    if ncycles:
+
+        nw = decs4.shape[3]
+
+        def step(sstate, t):
+            r = jnp.mod(t + 1, w)
+            p = ((sstate >> r) | (sstate << (w - r))) & (2**w - 1)
+            out_bit = (sstate & 1).astype(jnp.uint8)
+            # ONE dynamic_slice pulls exactly the (B, n//32) plane —
+            # a two-level index would materialize the whole 23-plane
+            # cycle every step (23x the traceback traffic)
+            zero = jnp.int32(0)
+            plane = jax.lax.dynamic_slice(
+                decs4, (t // w, zero, jnp.mod(t, w), zero), (1, B, 1, nw)
+            ).reshape(B, nw)
+            bit = _pos_bit(plane, p).astype(jnp.int32)
+            return (bit << (k - 2)) | (sstate >> 1), out_bit
+
+        ts = jnp.arange(ncycles * w - 1, -1, -1, dtype=jnp.int32)
+        s, bits_scan = jax.lax.scan(step, s, ts)  # (ncycles*w, B)
+    else:
+        bits_scan = jnp.zeros((0, B), jnp.uint8)
+
+    if desc_bits:
+        desc = jnp.concatenate([jnp.stack(desc_bits), bits_scan], axis=0)
+    else:
+        desc = bits_scan
+    return jnp.flip(desc.T, axis=-1)
 
 
 @functools.partial(
@@ -572,7 +697,11 @@ def decode_frame_fused(
     rb: int = 8,
     interpret: bool = False,
 ) -> jax.Array:
-    """Full frame decode with the fused-cycle kernels."""
+    """Full frame decode with the fused-cycle kernels.
+
+    Uses the planes (no-relayout) decision path: peak decision memory is
+    one tape, so B=8 full K=24 frames fit a 16 GB v5e.
+    """
     if syms.ndim == 1:
         syms = syms[None, :]
     B = syms.shape[0]
@@ -582,7 +711,7 @@ def decode_frame_fused(
     )
     metrics = jnp.full((B, n), vit.START_BIAS, dtype)
     metrics = metrics.at[jnp.arange(B), start].set(0)
-    _, decs, _ = update_frame_fused(
+    _, decs4, rem_dec, _ = update_frame_fused_planes(
         metrics, syms, nbits, code, ta, rb, interpret
     )
-    return chainback_inplace(decs, nbits, end_state, code)
+    return chainback_planes(decs4, rem_dec, nbits, end_state, code)

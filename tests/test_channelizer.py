@@ -2,6 +2,7 @@
 multiple telemetry signals from one wideband stream."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from isee3_decoder_tpu.models.decode import DecodeConfig, decode_stream
@@ -108,6 +109,7 @@ def test_oversampled_edge_carrier_decodes():
     assert good >= 1
 
 
+@pytest.mark.slow
 def test_wideband_to_frames():
     """Four telemetry downlinks in one 2 Msps capture: channelize →
     per-channel pipeline decodes all of them."""

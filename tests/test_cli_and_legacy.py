@@ -86,6 +86,7 @@ def test_vdecode_stream_fused_backend_matches():
     np.testing.assert_array_equal(res_f.symbol_errors, res.symbol_errors)
 
 
+@pytest.mark.slow
 def test_icesync_frames_synthetic_baseband():
     """icesync on synthetic Manchester baseband finds syncs and decodes."""
     rng = np.random.default_rng(3)
@@ -173,6 +174,7 @@ def test_cli_bitsync(tmp_path):
 
 
 @pytest.mark.skipif(os.environ.get("SKIP_CLI") == "1", reason="slow")
+@pytest.mark.slow
 def test_cli_three_stage_pipeline(tmp_path):
     """The actual ./pmdemod input | ./symdemod | ./decode contract, run as
     real processes (README.txt:9)."""

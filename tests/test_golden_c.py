@@ -194,8 +194,15 @@ def _baseband(
 @pytest.mark.parametrize(
     "args,symrate,clocks",
     [
-        (["-r", "32768", "-c", "1024"], 1024.545058, 1),  # fractional samp/sym
-        (["-r", "32768", "-c", "1024", "-w", "0.5"], 1024.545058, 1),
+        # fractional samp/sym (slow: 4 s of 32 ksps baseband through both)
+        pytest.param(
+            ["-r", "32768", "-c", "1024"], 1024.545058, 1,
+            marks=pytest.mark.slow,
+        ),
+        pytest.param(
+            ["-r", "32768", "-c", "1024", "-w", "0.5"], 1024.545058, 1,
+            marks=pytest.mark.slow,
+        ),
         (["-r", "16384", "-c", "512.0"], 512.0, 2),  # exact rate → 2 clk/sym
     ],
 )
@@ -212,6 +219,7 @@ def test_symdemod_bytes_match_c(args, symrate, clocks):
     )
 
 
+@pytest.mark.slow
 def test_symdemod_subcarrier_bytes_match_c():
     """Subcarrier mode (-c 64 → 16 clocks/symbol, symdemod.c:74-77)."""
     rng = np.random.default_rng(11)
@@ -303,7 +311,6 @@ def test_decode_fano_bad_frame_flags_match_c():
 # against the actual C programs)
 
 
-@pytest.mark.slow
 def test_pmdemod_baseband_matches_c(tmp_path):
     """int16 baseband of the float64 repo path vs the compiled pmdemod.
 

@@ -31,6 +31,7 @@ from isee3_decoder_tpu.ops.symbols import SymConfig
 from isee3_decoder_tpu.utils import ebn0_to_noise, gen_met, simulate, testsignal
 
 
+@pytest.mark.slow
 def test_16bps_subcarrier_full_frame_decode():
     """A full 1024-bit minor frame through the complete chain in the
     16 bps mode: PM demod → 32-clock subcarrier integrate-and-dump →

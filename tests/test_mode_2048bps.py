@@ -2,6 +2,7 @@
 frames), end-to-end through the pipeline."""
 
 import numpy as np
+import pytest
 
 from isee3_decoder_tpu.models.decode import DecodeConfig
 from isee3_decoder_tpu.models.pipeline import PipelineConfig, run_pipeline
@@ -10,6 +11,7 @@ from isee3_decoder_tpu.ops.symbols import SymConfig
 from isee3_decoder_tpu.utils import testsignal
 
 
+@pytest.mark.slow
 def test_end_to_end_2048bps():
     rng = np.random.default_rng(1)
     frames = testsignal.random_frames(rng, 6)  # 0.5 s frames

@@ -81,6 +81,7 @@ def test_stream_reader_pipe():
     assert got == payload
 
 
+@pytest.mark.slow
 def test_native_viterbi_full_k24_frame():
     """Cross-implementation check on the real code at a useful length:
     the C++ oracle and the JAX kernel agree on a noisy MCQLI-24 frame."""

@@ -85,6 +85,7 @@ def test_mesh_shapes():
     assert mesh.shape["state"] == 2
 
 
+@pytest.mark.slow
 def test_channel_sharded_receive_block_matches_single_device():
     """The fused IQ→frames program sharded over the ch axis returns the
     same packed result buffer as the single-device run (the multi-chip

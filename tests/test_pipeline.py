@@ -23,6 +23,7 @@ from isee3_decoder_tpu.utils.sim import simulate
 import jax
 
 
+@pytest.mark.slow
 def test_end_to_end_single_channel():
     """One 512 bps channel at high SNR: pmdemod → symdemod → decode
     recovers the transmitted frames bit-exactly via Fano."""
@@ -108,6 +109,7 @@ def test_decode_stream_noisy_channel_sim():
         assert any(np.array_equal(r.data[0], f) for f in frames)
 
 
+@pytest.mark.slow
 def test_receive_block_fused_chain():
     """The single-program fused receive chain (IQ -> packed frames in one
     dispatch) recovers the transmitted frames of two channels."""
@@ -186,6 +188,7 @@ def test_receive_blocks_pipelined_matches_receive_block():
         np.testing.assert_array_equal(ra.start_symbol, rb.start_symbol)
 
 
+@pytest.mark.slow
 def test_receive_block_tier2_device_gather_matches_decode_block():
     """When lanes fail the device tier-1 cap, receive_block's fallback
     tiers gather the failed lanes' frame windows from the DEVICE-resident

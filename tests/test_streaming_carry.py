@@ -10,6 +10,7 @@ one call on the concatenated recording — no re-acquisition transient.
 from __future__ import annotations
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from isee3_decoder_tpu.models.pipeline import (
@@ -57,6 +58,7 @@ def _flatten(records):
     ]
 
 
+@pytest.mark.slow
 def test_chunked_stream_equals_one_call():
     raw, frames = _recording(5)
     # one-shot reference: full demod + fresh decode walk

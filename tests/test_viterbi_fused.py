@@ -23,7 +23,15 @@ def noisy(rng, code, nbits):
     ).astype(np.uint8)
 
 
-@pytest.mark.parametrize("nbits", [9, 14, 42, 61])
+@pytest.mark.parametrize(
+    "nbits",
+    [
+        9,
+        pytest.param(14, marks=pytest.mark.slow),
+        42,
+        pytest.param(61, marks=pytest.mark.slow),
+    ],
+)
 def test_fused_matches_reference_k15(nbits):
     """Sub-cycle, cycle-aligned, and remainder lengths."""
     rng = np.random.default_rng(nbits)
@@ -52,6 +60,7 @@ def test_fused_batched_nonzero_states():
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.slow
 def test_fused_mcqli24_smoke():
     rng = np.random.default_rng(2)
     nbits = 48
@@ -116,12 +125,19 @@ def test_fused_decision_budget_guard():
         decode_frame_fused,
     )
 
-    # the exact round-1 wedge shape raises before any kernel launches
-    syms = jnp.full((8, 2048), 128, jnp.uint8)
+    # B=16 on the single-copy planes path (~17 GB) raises before any
+    # kernel launches; the round-1 wedge shape (B=8 flat, 2 copies)
+    # still raises on the legacy flat layout
+    syms = jnp.full((16, 2048), 128, jnp.uint8)
     with pytest.raises(ValueError, match="chunk the batch"):
         decode_frame_fused(syms, 1024, 0, 0, MCQLI24, interpret=True)
+    with pytest.raises(ValueError, match="chunk the batch"):
+        _check_decision_budget(8, 1024, MCQLI24.nstates, copies=2)
 
-    # B=4 at K=24 (the bench configuration) is within budget
+    # B=8 at K=24 fits on the planes path (one tape, ~8.6 GB) — the
+    # fallback chunk size models/decode._viterbi_decode now uses
+    _check_decision_budget(8, 1024, MCQLI24.nstates, copies=1)
+    # B=4 flat (the old bench configuration) is within budget
     _check_decision_budget(4, 1024, MCQLI24.nstates)
     # small code at B=8: fine (the gate is about memory, not batch)
     _check_decision_budget(8, 1024, 256)
