@@ -136,6 +136,10 @@ def _measure() -> None:
             viterbi_backend=(
                 "fused" if os.environ.get("BENCH_CPU", "") != "1" else "inplace"
             ),
+            # middle tier: algebraic correction of scattered errors on
+            # the quicklook candidate — near-clean mid-SNR frames skip
+            # the serial Fano walk (VERDICT r3 next #3)
+            qlec=os.environ.get("BENCH_QLEC", "1") == "1",
             # tier-1 lockstep cycle cap (cycles/bit); the lockstep walk
             # spins until its slowest lane finishes, so this bounds the
             # straggler cost (stragglers re-run compacted at full budget)
@@ -207,6 +211,7 @@ def _measure() -> None:
     from isee3_decoder_tpu.config import FRAMESYMBOLS, SYNCBITS
     from isee3_decoder_tpu.models.decode import (
         DECODER_FANO,
+        DECODER_QLEC,
         DECODER_QUICKLOOK,
         DECODER_VITERBI,
         decode_block,
@@ -284,11 +289,16 @@ def _measure() -> None:
         recs_m.append(r)
     t_mid = (time.perf_counter() - t0) / npipe
     rec_m = recs_m[-1]
+    # free this regime's device-resident IQ before synthesizing the next
+    # (each block is ~1 GB at 128 ch; three regimes' worth + the Viterbi
+    # fallback tape exhaust a 16 GB v5e)
+    del iqs_m
     ngood_m, nmatched_m = frame_stats(rec_m)
     chan_rt_mid = total_samples / t_mid / samprate
 
     # Threshold regime: same driver, noise at the Fano cliff so the
     # Viterbi fallback does real work on every block.
+    del iqs
     keys_t = jax.random.split(jax.random.PRNGKey(1234), npipe)
     iqs_t = [to_raw(synth(frames_dev, k, noise_thr)) for k in keys_t]
     _ = float(iqs_t[-1][0, 0])
@@ -303,11 +313,13 @@ def _measure() -> None:
     chan_rt_thr = total_samples / t_thr / samprate
     dec_t = {
         "quicklook": 0,
+        "qlec": 0,
         "fano": 0,
         "viterbi": 0,
     }
     for r in recs_t:
         dec_t["quicklook"] += int((r.decoder == DECODER_QUICKLOOK).sum())
+        dec_t["qlec"] += int((r.decoder == DECODER_QLEC).sum())
         dec_t["fano"] += int((r.decoder == DECODER_FANO).sum())
         dec_t["viterbi"] += int((r.decoder == DECODER_VITERBI).sum())
 
@@ -333,6 +345,7 @@ def _measure() -> None:
             "min_cn0_db": round(float(cn0_min), 1),
             "decoders": {
                 "quicklook": int((rec.decoder == DECODER_QUICKLOOK).sum()),
+                "qlec": int((rec.decoder == DECODER_QLEC).sum()),
                 "fano": int((rec.decoder == DECODER_FANO).sum()),
                 "viterbi": int((rec.decoder == DECODER_VITERBI).sum()),
             },
@@ -348,6 +361,7 @@ def _measure() -> None:
                 "frames_possible": f_avail * nchan,
                 "decoders": {
                     "quicklook": int((rec_m.decoder == DECODER_QUICKLOOK).sum()),
+                    "qlec": int((rec_m.decoder == DECODER_QLEC).sum()),
                     "fano": int((rec_m.decoder == DECODER_FANO).sum()),
                     "viterbi": int((rec_m.decoder == DECODER_VITERBI).sum()),
                 },

@@ -45,6 +45,7 @@ from isee3_decoder_tpu.ops.syncword import find_sync, verify_frame
 from isee3_decoder_tpu.utils.metrics import decoder_amplitudes, gen_met
 
 DECODER_NONE, DECODER_VITERBI, DECODER_FANO, DECODER_QUICKLOOK = 0, 1, 2, 3
+DECODER_QLEC = 4  # quicklook + algebraic error correction (middle tier)
 
 
 def batch_shape_bounded(fn, fsyms, chunk: int = 4):
@@ -84,10 +85,20 @@ def _viterbi_decode(fsyms, cfg: "DecodeConfig"):
     shape-bounded chunks (see batch_shape_bounded).
 
     The fused kernel's planes decision path holds ONE tape copy
-    (~1 MB/bit/frame at K=24), so 8 full frames in flight fit a 16 GB
-    v5e — chunk 8 halves the number of fallback dispatches vs the old
-    relayout-bound chunk 4."""
-    chunk = 8 if cfg.viterbi_backend == "fused" else 4
+    (~1 MB/bit/frame at K=24), so up to 8 full frames in flight fit a
+    16 GB v5e in isolation — but the fallback runs while the pipelined
+    receive chain holds blocks of IQ + soft streams resident, and the
+    ACS kernels are compute-saturated by B≈4 anyway (7246 vs 7303
+    frame-bit/s at B=4/8, scripts/tpu_fused_batch_probe.py), so chunk 4
+    (4.3 GB tape) is the default.  ISEE3_VIT_CHUNK=8 opts into bigger
+    batches when HBM is free."""
+    import os
+
+    chunk = (
+        int(os.environ.get("ISEE3_VIT_CHUNK", "4"))
+        if cfg.viterbi_backend == "fused"
+        else 4
+    )
     if fsyms.shape[0] not in (1, 2, chunk):
         return batch_shape_bounded(
             lambda part: _viterbi_decode(part, cfg), fsyms, chunk
@@ -141,6 +152,13 @@ class DecodeConfig:
     #: branch), so this is a pure latency optimization: error-free lanes
     #: skip the serial threshold walk entirely.
     quicklook: bool = True
+    #: middle decode tier between quicklook and the Fano walk: algebraic
+    #: correction of scattered symbol errors localized by the QLI
+    #: re-encode residual, accepted only when the corrected residual is
+    #: exactly explained (see _qlec_frames).  Default OFF: the reference
+    #: has no counterpart (it re-walks Fano), so byte-and-label parity
+    #: runs keep it disabled; the bench/pipeline enable it.
+    qlec: bool = False
 
     def mettab(self) -> np.ndarray:
         """Fano metric table assuming threshold operation at Eb/N0=3 dB
@@ -245,18 +263,28 @@ def decode_stream(
                 decoder[ql_ok] = DECODER_QUICKLOOK
                 decode_ok |= ql_ok
 
+        pre_ok = ql_ok
+        if cfg.qlec and cfg.quicklook:
+            ec_bits, ec_ok_d = _qlec_frames(fsyms, qbits, cfg.code)
+            ec_ok = np.asarray(ec_ok_d) & ~ql_ok
+            if ec_ok.any():
+                bits[ec_ok] = np.asarray(ec_bits)[ec_ok]
+                decoder[ec_ok] = DECODER_QLEC
+                decode_ok |= ec_ok
+            pre_ok = ql_ok | ec_ok
+
         if cfg.fano_enabled:
             res = fano_decode(
                 fsyms, mettab, FRAMEBITS, SYNC_STATE, tail, cfg.code,
-                cfg.fano_params_tier1(), skip=jnp.asarray(ql_ok),
+                cfg.fano_params_tier1(), skip=jnp.asarray(pre_ok),
             )
-            fano_ok = ~ql_ok & (np.asarray(res.goodbits) == FRAMEBITS)
-            decoder = np.where(ql_ok, decoder, DECODER_FANO).astype(np.int32)
-            bits = np.where(ql_ok[:, None], bits, np.asarray(res.bits)).astype(
+            fano_ok = ~pre_ok & (np.asarray(res.goodbits) == FRAMEBITS)
+            decoder = np.where(pre_ok, decoder, DECODER_FANO).astype(np.int32)
+            bits = np.where(pre_ok[:, None], bits, np.asarray(res.bits)).astype(
                 np.uint8
             )
-            decode_ok = ql_ok | fano_ok
-            cycles = np.where(ql_ok, 0, np.asarray(res.cycles))
+            decode_ok = pre_ok | fano_ok
+            cycles = np.where(pre_ok, 0, np.asarray(res.cycles))
             # tier 2: full-budget re-run of the lanes that timed out at
             # the tier-1 cap (identical walk, so results match a single
             # full-budget pass bit-for-bit — including failed lanes'
@@ -337,6 +365,85 @@ def _quicklook_frames(fsyms: jax.Array, code: CodeSpec):
     return bits, ok
 
 
+def _qlec_frames(
+    fsyms: jax.Array,
+    ql_bits: jax.Array,
+    code: CodeSpec,
+    rounds: int = 2,
+):
+    """Middle decode tier: algebraic error correction on the quicklook
+    candidate (VERDICT r3 next #3).
+
+    The QLI residual localizes errors: re-encoding the quicklook bits
+    and XORing against the received hard symbols gives
+    R = enc(δ) ⊕ e, where δ marks wrong candidate bits and e the channel
+    symbol errors.  A wrong bit j (caused by an odd-weight symbol error
+    in pair j+1 — quicklook bit j reads pair j+1) spreads a tap-pattern
+    burst over pairs j .. j+K-1 whose FIRST bad pair is exactly j (both
+    polynomials have bit 0 set for every catalog code), so for errors
+    separated by ≥ K pairs each burst start identifies one bit flip.
+    Flip them, re-encode, and ACCEPT only if the remaining residual is
+    exactly explained: every bad pair is the causal pair j+1 of some
+    corrected bit (plus the syncword verify as a 40-bit backstop).
+    Lanes that fail the exact check fall to the Fano walk unchanged.
+
+    ``rounds`` repeats detection on the unexplained residual so a burst
+    masked by an earlier one (errors < K pairs apart) gets a second
+    chance.  Cost per round is one re-encode + elementwise work —
+    microseconds next to the serial Fano walk it replaces on near-clean
+    mid-SNR frames.
+
+    Frames accepted here decode identically to the Fano/Viterbi output
+    whenever the corrected word is the maximum-likelihood explanation —
+    scattered sub-dfree/2 error patterns, which is exactly the regime
+    the exact-residual acceptance admits.  No reference counterpart
+    (the reference re-walks Fano); keep disabled (cfg.qlec=False) for
+    byte-and-label parity runs.
+
+    Returns (bits (L, FRAMEBITS) uint8, ok (L,) bool).
+    """
+    L = fsyms.shape[0]
+    w = code.k - 1
+    hard = (fsyms.astype(jnp.int32) > 128).astype(jnp.uint8)
+
+    def pair_bad(bits):
+        resyms, _ = encode_bits(bits, SYNC_STATE, code)
+        r = resyms.astype(jnp.uint8) ^ hard
+        return r.reshape(L, FRAMEBITS, 2).max(axis=-1)
+
+    def prev_any(pb):
+        """Any bad pair among the previous w pairs (burst masking)."""
+        padded = jnp.pad(pb, ((0, 0), (w, 0)))
+        acc = jnp.zeros_like(pb)
+        for d in range(1, w + 1):
+            acc = acc | padded[:, w - d : w - d + FRAMEBITS]
+        return acc
+
+    bits = ql_bits
+    flips = jnp.zeros((L, FRAMEBITS), jnp.uint8)
+    for _ in range(rounds):
+        pb = pair_bad(bits)
+        # residuals at pair p+1 of an existing flip are explained — they
+        # must not fire new starts (or mask real ones)
+        explained = jnp.pad(flips[:, :-1], ((0, 0), (1, 0)))
+        pb_un = pb & (1 - explained)
+        start = pb_un & (1 - prev_any(pb_un))
+        # the frame's last bit is the known syncword LSB (never wrong)
+        start = start.at[:, FRAMEBITS - 1].set(0)
+        bits = bits ^ start
+        flips = flips | start
+
+    pb = pair_bad(bits)
+    explained = jnp.pad(flips[:, :-1], ((0, 0), (1, 0)))
+    unexplained = (pb & (1 - explained)).sum(axis=-1)
+    ok = (
+        (flips.sum(axis=-1) > 0)
+        & (unexplained == 0)
+        & verify_frame(bits)
+    )
+    return bits, ok
+
+
 def _gather_frames(symbols: jax.Array, sync_start: jax.Array, nframes: int):
     """Slice nframes consecutive frames per channel after each sync."""
     B = symbols.shape[0]
@@ -374,6 +481,15 @@ def _decode_frames_core(
         ql_bits = jnp.zeros((L, FRAMEBITS), jnp.uint8)
         ql_ok = jnp.zeros((L,), bool)
 
+    if cfg.qlec and cfg.quicklook:
+        ec_bits, ec_ok = _qlec_frames(fsyms, ql_bits, cfg.code)
+        ec_ok = ec_ok & ~ql_ok
+    else:
+        ec_bits = ql_bits
+        ec_ok = jnp.zeros((L,), bool)
+    pre_ok = ql_ok | ec_ok
+    pre_bits = jnp.where(ec_ok[:, None], ec_bits, ql_bits)
+
     if cfg.fano_enabled:
         k = cfg.code.k
         tail = SYNCWORD & ((1 << (k - 1)) - 1)
@@ -385,25 +501,29 @@ def _decode_frames_core(
             tail,
             cfg.code,
             cfg.fano_params_tier1(),
-            skip=ql_ok,
+            skip=pre_ok,
         )
-        fano_ok = ~ql_ok & (res.goodbits == FRAMEBITS)
-        bits = jnp.where(ql_ok[:, None], ql_bits, res.bits)
-        cycles = jnp.where(ql_ok, 0, res.cycles)
+        fano_ok = ~pre_ok & (res.goodbits == FRAMEBITS)
+        bits = jnp.where(pre_ok[:, None], pre_bits, res.bits)
+        cycles = jnp.where(pre_ok, 0, res.cycles)
     else:
         fano_ok = jnp.zeros((L,), bool)
-        bits = ql_bits
+        bits = pre_bits
         cycles = jnp.zeros((L,), jnp.int32)
 
-    ok = ql_ok | fano_ok
-    good = ql_ok | (fano_ok & verify_frame(bits))
+    ok = pre_ok | fano_ok
+    good = pre_ok | (fano_ok & verify_frame(bits))
     # a lane whose Fano walk ran reports FANO even when it timed out —
     # decode.c:200 sets decoder=FANO before the attempt and prints
     # "with Fano (bad)" on failure (matches decode_stream's labels)
     decoder = jnp.where(
         ql_ok,
         DECODER_QUICKLOOK,
-        DECODER_FANO if cfg.fano_enabled else DECODER_NONE,
+        jnp.where(
+            ec_ok,
+            DECODER_QLEC,
+            DECODER_FANO if cfg.fano_enabled else DECODER_NONE,
+        ),
     ).astype(jnp.int32)
     data = bits_to_bytes(bits)
     return data, good, decoder, ok, cycles
@@ -766,6 +886,7 @@ def format_frame(rec: FrameRecord, channel: int, frame_no: int, symrate: float =
         DECODER_VITERBI: "Viterbi",
         DECODER_FANO: "Fano",
         DECODER_QUICKLOOK: "Quicklook",
+        DECODER_QLEC: "Quicklook-EC",
     }.get(
         int(rec.decoder[channel]), "None"
     )

@@ -517,7 +517,11 @@ def _raw_fast_capable(cfg: PMConfig, B: int, n: int) -> bool:
     if cfg.search_backend == "auto" and jax.default_backend() != "tpu":
         return False
     return (
-        cfg.doppler_rate == 0.0
+        # Doppler de-chirp is folded into the fully-fused kernels
+        # (pm_locked_fused / spin_down_fused); the partially-fused
+        # combination (windowed_dft_raw + XLA spin_down_raw) has no
+        # chirp fold, so a chirping downlink requires spin_supports
+        (cfg.doppler_rate == 0.0 or carrier_pallas.spin_supports(B, n))
         and cfg.dtype == jnp.float32
         and _fast_search_capable(cfg)
         and carrier_pallas.supports(B, n)
@@ -545,14 +549,18 @@ def pm_demod_block_raw(
     )
     B, n = raw.shape[0], raw.shape[1] // 2
     fused_spin = carrier_pallas.spin_supports(B, n)
+    # de-chirp phase coefficient in cycles/sample² (static) — folded
+    # into the fused kernels' mix angle (pmdemod.c:232-244)
+    dop = cfg.doppler_rate / (cfg.samprate * cfg.samprate)
 
     def unlocked_fn(r):
-        freq = find_carrier(
-            full_spectrum(iq_from_interleaved(r, flip), cfg), carry, cfg
-        )[0].astype(jnp.float32)
+        iq = doppler_chirp(iq_from_interleaved(r, flip), cfg)
+        freq = find_carrier(full_spectrum(iq, cfg), carry, cfg)[0].astype(
+            jnp.float32
+        )
         if fused_spin:
             bb, amp, cn0 = carrier_pallas.spin_down_fused(
-                r, freq, cfg.samprate, flip, interpret
+                r, freq, cfg.samprate, flip, interpret, dop=dop
             )
         else:
             bb, amp, cn0 = spin_down_raw(r, freq, cfg, flip)
@@ -573,6 +581,7 @@ def pm_demod_block_raw(
                 cfg.actual_binsize,
                 flip,
                 interpret,
+                dop=dop,
             )
             return freq, bb, amp, cn0
 
@@ -676,6 +685,7 @@ def _scan_fused_capable(cfg: PMConfig, B: int, n: int, T: int) -> bool:
 
     return (
         T >= 2
+        and cfg.doppler_rate == 0.0  # scan kernel has no chirp fold
         and _raw_fast_capable(cfg, B, n)
         and carrier_pallas.spin_supports(B, n)
         and prefix_pallas.supports(B, n)

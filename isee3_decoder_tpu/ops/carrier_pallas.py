@@ -35,13 +35,45 @@ def pack_raw(raw: jax.Array) -> jax.Array:
     )
 
 
-def _kernel(x_ref, mhr, mhi, mlr, mli, h0r, h0i, l0r, l0i, sr_ref, si_ref, *, nhi, flip):
+def _chirp_tables(n: int, dop: float):
+    """Host f64 de-chirp tables for the DFT kernels: cos/-sin of
+    2π·(dop·i(i+1)/2 mod 1) reshaped (n//256, 256) to match the
+    mix-folded Cooley-Tukey data layout (sample i = 256h + t).  The
+    chirp phase has an h·t cross term, so it cannot fold into the two
+    DFT factor matrices — it must rotate the DATA (pmdemod.c:232-244
+    de-rotates before the FFT for the same reason)."""
+    ii = np.arange(n, dtype=np.float64)
+    phi = (dop * (ii * (ii + 1.0) / 2.0)) % 1.0
+    ang = 2.0 * np.pi * phi
+    return (
+        jnp.asarray(np.cos(ang).astype(np.float32).reshape(-1, 256)),
+        jnp.asarray((-np.sin(ang)).astype(np.float32).reshape(-1, 256)),
+    )
+
+
+def _dechirp(i_, q_, dchr, dchi, nhi):
+    """Rotate unpacked (BT, n) IQ by the de-chirp tables in VMEM."""
+    xr3 = i_.reshape(_BT, nhi, 256)
+    xi3 = q_.reshape(_BT, nhi, 256)
+    dr = dchr[...][None, :, :]
+    di = dchi[...][None, :, :]
+    return xr3 * dr - xi3 * di, xi3 * dr + xr3 * di
+
+
+def _kernel(x_ref, mhr, mhi, mlr, mli, h0r, h0i, l0r, l0i, *rest, nhi, flip, dop):
+    if dop:
+        dchr, dchi, sr_ref, si_ref = rest
+    else:
+        sr_ref, si_ref = rest
     x = x_ref[...]
     lo = jnp.right_shift(jnp.left_shift(x, 16), 16).astype(jnp.float32)
     hi = jnp.right_shift(x, 16).astype(jnp.float32)
     i_, q_ = (hi, lo) if flip else (lo, hi)
-    xr = i_.reshape(_BT, nhi, 256)
-    xi = q_.reshape(_BT, nhi, 256)
+    if dop:
+        xr, xi = _dechirp(i_, q_, dchr, dchi, nhi)
+    else:
+        xr = i_.reshape(_BT, nhi, 256)
+        xi = q_.reshape(_BT, nhi, 256)
     dn = (((0,), (0,)), ((), ()))  # contract dim 0 with dim 0
     for c in range(_BT):
         hr = mhr[c][:, None] * h0r[...] - mhi[c][:, None] * h0i[...]
@@ -61,7 +93,7 @@ def _kernel(x_ref, mhr, mhi, mlr, mli, h0r, h0i, l0r, l0i, sr_ref, si_ref, *, nh
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n", "kp", "flip", "interpret")
+    jax.jit, static_argnames=("n", "kp", "flip", "interpret", "dop")
 )
 def windowed_dft_raw(
     packed: jax.Array,
@@ -70,6 +102,7 @@ def windowed_dft_raw(
     kp: int,
     flip: bool = False,
     interpret: bool = False,
+    dop: float = 0.0,
 ) -> jax.Array:
     """(B, n) packed int32 IQ words + (B,) window start bins → (B, kp)
     complex64 spectrum bins first1 .. first1+kp-1 of the n-point DFT.
@@ -103,9 +136,18 @@ def windowed_dft_raw(
     mixh = cexp((hj[None, :] * (first1 % nhi)[:, None]) % nhi, nhi)
     mixl = cexp((tj[None, :] * (first1 % n)[:, None]) % n, n)
 
+    chirp_ops = []
+    chirp_specs = []
+    if dop:
+        dchr, dchi = _chirp_tables(n, dop)
+        chirp_ops = [dchr, dchi]
+        chirp_specs = [
+            pl.BlockSpec((nhi, 256), lambda bi: (0, 0)),
+            pl.BlockSpec((nhi, 256), lambda bi: (0, 0)),
+        ]
     chan = pl.BlockSpec((_BT, None), lambda bi: (bi, 0))
     sr, si = pl.pallas_call(
-        functools.partial(_kernel, nhi=nhi, flip=flip),
+        functools.partial(_kernel, nhi=nhi, flip=flip, dop=dop),
         grid=(B // _BT,),
         in_specs=[
             pl.BlockSpec((_BT, n), lambda bi: (bi, 0)),
@@ -117,6 +159,7 @@ def windowed_dft_raw(
             pl.BlockSpec((nhi, kp), lambda bi: (0, 0)),
             pl.BlockSpec((256, kp), lambda bi: (0, 0)),
             pl.BlockSpec((256, kp), lambda bi: (0, 0)),
+            *chirp_specs,
         ],
         out_specs=[
             pl.BlockSpec((_BT, kp), lambda bi: (bi, 0)),
@@ -138,6 +181,7 @@ def windowed_dft_raw(
         mixh.real, mixh.imag, mixl.real, mixl.imag,
         jnp.asarray(hi0.real), jnp.asarray(hi0.imag),
         jnp.asarray(lo0.real), jnp.asarray(lo0.imag),
+        *chirp_ops,
     )
     return (sr + 1j * si).astype(jnp.complex64)
 
@@ -149,7 +193,25 @@ def supports(B: int, n: int) -> bool:
 _CH = 8192  # samples per in-kernel chunk (f32 temporaries 256 KB each)
 
 
-def _spin_kernel(x_ref, c_ref, bb_ref, stat_ref, *, flip, samprate):
+def _chirp_cycles(k: int, ch: int, dop: float):
+    """Static per-chunk de-chirp phase for samples i = k·ch + j, in
+    CYCLES: φ(i) = dop·i(i+1)/2 with dop = Doppler_rate/samprate²
+    (pmdemod.c:232-244's per-sample double integration, per-block
+    restart).  Host-side f64 mod-1 reduction of the chunk base and the
+    linear coefficient keeps every traced term small enough for f32
+    (the j² term itself is < 0.03 cycles at mission Doppler rates).
+
+    Returns (A, Bk, B256, C) Python floats for
+    φ(j) = A + B256·(j//256) + Bk·(j%256) + C·j².
+    """
+    base = float(k) * ch
+    A = (0.5 * dop * base * base + 0.5 * dop * base) % 1.0
+    Bk = (dop * base + 0.5 * dop) % 1.0
+    B256 = (256.0 * Bk) % 1.0
+    return A, Bk, B256, 0.5 * dop
+
+
+def _spin_kernel(x_ref, c_ref, bb_ref, stat_ref, *, flip, samprate, dop):
     """One-read spin-down: five-moment C/N0 + rotate + int16 emission
     over a VMEM-resident (BT, n) packed-int16 tile.
 
@@ -161,7 +223,9 @@ def _spin_kernel(x_ref, c_ref, bb_ref, stat_ref, *, flip, samprate):
     as int16 (pmdemod.c:360-368) — the kernel is
     VPU-transcendental-bound, so computing the per-sample cos/sin once
     instead of once per pass is the win.  Same expressions as
-    carrier._moments_cn0 / spin_down up to sum-order.
+    carrier._moments_cn0 / spin_down up to sum-order.  ``dop`` (static,
+    cycles/sample²) folds the Doppler de-chirp into the same mix angle —
+    the chirped-downlink configuration stays on the fast path.
     """
     n = x_ref.shape[1]
     nk = n // _CH
@@ -177,7 +241,20 @@ def _spin_kernel(x_ref, c_ref, bb_ref, stat_ref, *, flip, samprate):
         idx = jax.lax.broadcasted_iota(jnp.int32, (_BT, _CH), 1) + k * _CH
         ihi = (idx // 256).astype(jnp.float32)
         ilo = (idx % 256).astype(jnp.float32)
-        ang = (2 * np.pi) * (c256 * ihi + c * ilo)
+        cyc = c256 * ihi + c * ilo
+        if dop:
+            j = jax.lax.broadcasted_iota(jnp.int32, (_BT, _CH), 1)
+            jf = j.astype(jnp.float32)
+            jh = (j // 256).astype(jnp.float32)
+            jl = (j % 256).astype(jnp.float32)
+            A, Bk, B256, C = _chirp_cycles(k, _CH, dop)
+            cyc = cyc + (
+                np.float32(A)
+                + np.float32(B256) * jh
+                + np.float32(Bk) * jl
+                + np.float32(C) * (jf * jf)
+            )
+        ang = (2 * np.pi) * cyc
         lor = jnp.cos(ang)
         loi = -jnp.sin(ang)
         sr = i_ * lor - q_ * loi
@@ -225,7 +302,7 @@ def _spin_kernel(x_ref, c_ref, bb_ref, stat_ref, *, flip, samprate):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("samprate", "flip", "interpret")
+    jax.jit, static_argnames=("samprate", "flip", "interpret", "dop")
 )
 def spin_down_fused(
     raw: jax.Array,
@@ -233,18 +310,20 @@ def spin_down_fused(
     samprate: float,
     flip: bool = False,
     interpret: bool = False,
+    dop: float = 0.0,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """(B, 2n) raw int16 + (B,) Hz → (baseband int16 (B, n), amp, cn0_db)
     in ONE HBM read of the raw words (carrier.spin_down_raw needs two).
     Matches carrier.spin_down's f32 branch up to f32 sum order (baseband
-    within 1 LSB where moment ulps move trunc boundaries)."""
+    within 1 LSB where moment ulps move trunc boundaries).  ``dop``
+    (static, cycles/sample²) folds the Doppler de-chirp into the mix."""
     packed = pack_raw(raw)
     B, n = packed.shape
     assert B % _BT == 0 and n % _CH == 0
     c = (carrier_freq / np.float32(samprate)).astype(jnp.float32)
     cb = jnp.broadcast_to(c[:, None], (B, 128))
     bb, stat = pl.pallas_call(
-        functools.partial(_spin_kernel, flip=flip, samprate=samprate),
+        functools.partial(_spin_kernel, flip=flip, samprate=samprate, dop=dop),
         grid=(B // _BT,),
         in_specs=[
             pl.BlockSpec((_BT, n), lambda bi: (bi, 0)),
@@ -607,8 +686,8 @@ def pm_scan_locked_fused(
 
 def _locked_kernel(
     x_ref, iw_ref, mhr, mhi, mlr, mli, h0r, h0i, l0r, l0i,
-    bb_ref, stat_ref, s_r, s_i,
-    *, nhi, kp, flip, samprate, binsize,
+    *rest,
+    nhi, kp, flip, samprate, binsize, dop,
 ):
     """Whole locked-path pm block in one HBM read: windowed DFT search →
     masked peak + Quinn → spin-down moments → rotate + int16 emission.
@@ -622,14 +701,21 @@ def _locked_kernel(
     carrier.find_carrier_windowed → _windowed_peak_from_s → spin_down's
     f32 branch (pmdemod.c:246-368) up to f32 sum order.
     """
+    if dop:
+        dchr, dchi, bb_ref, stat_ref, s_r, s_i = rest
+    else:
+        bb_ref, stat_ref, s_r, s_i = rest
     n = x_ref.shape[1]
     # ---- pass 1: windowed matmul-DFT (same contraction as _kernel) ----
     x = x_ref[...]
     lo = jnp.right_shift(jnp.left_shift(x, 16), 16).astype(jnp.float32)
     hi = jnp.right_shift(x, 16).astype(jnp.float32)
     i_, q_ = (hi, lo) if flip else (lo, hi)
-    xr = i_.reshape(_BT, nhi, 256)
-    xi = q_.reshape(_BT, nhi, 256)
+    if dop:
+        xr, xi = _dechirp(i_, q_, dchr, dchi, nhi)
+    else:
+        xr = i_.reshape(_BT, nhi, 256)
+        xi = q_.reshape(_BT, nhi, 256)
     dn = (((0,), (0,)), ((), ()))
     for c in range(_BT):
         hr = mhr[c][:, None] * h0r[...] - mhi[c][:, None] * h0i[...]
@@ -693,7 +779,20 @@ def _locked_kernel(
         idx = jax.lax.broadcasted_iota(jnp.int32, (_BT, _CH), 1) + k * _CH
         ihi = (idx // 256).astype(jnp.float32)
         ilo = (idx % 256).astype(jnp.float32)
-        ang = (2 * np.pi) * (c256 * ihi + cc * ilo)
+        cyc = c256 * ihi + cc * ilo
+        if dop:
+            j = jax.lax.broadcasted_iota(jnp.int32, (_BT, _CH), 1)
+            jf = j.astype(jnp.float32)
+            jh = (j // 256).astype(jnp.float32)
+            jl = (j % 256).astype(jnp.float32)
+            A, Bk, B256, C = _chirp_cycles(k, _CH, dop)
+            cyc = cyc + (
+                np.float32(A)
+                + np.float32(B256) * jh
+                + np.float32(Bk) * jl
+                + np.float32(C) * (jf * jf)
+            )
+        ang = (2 * np.pi) * cyc
         lor = jnp.cos(ang)
         loi = -jnp.sin(ang)
         sr = i_ * lor - q_ * loi
@@ -744,7 +843,9 @@ def _locked_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n", "kp", "samprate", "binsize", "flip", "interpret"),
+    static_argnames=(
+        "n", "kp", "samprate", "binsize", "flip", "interpret", "dop"
+    ),
 )
 def pm_locked_fused(
     packed: jax.Array,
@@ -756,6 +857,7 @@ def pm_locked_fused(
     binsize: float,
     flip: bool = False,
     interpret: bool = False,
+    dop: float = 0.0,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Entire locked pm block from (B, n) packed int16 IQ words in one
     HBM read: → (baseband int16 (B, n), carrier_freq, amp, cn0_db).
@@ -794,6 +896,15 @@ def pm_locked_fused(
     )
     iw = jnp.pad(iw, ((0, 0), (0, 126)))
 
+    chirp_ops = []
+    chirp_specs = []
+    if dop:
+        dchr, dchi = _chirp_tables(n, dop)
+        chirp_ops = [dchr, dchi]
+        chirp_specs = [
+            pl.BlockSpec((nhi, 256), lambda bi: (0, 0)),
+            pl.BlockSpec((nhi, 256), lambda bi: (0, 0)),
+        ]
     bb, stat = pl.pallas_call(
         functools.partial(
             _locked_kernel,
@@ -802,6 +913,7 @@ def pm_locked_fused(
             flip=flip,
             samprate=samprate,
             binsize=binsize,
+            dop=dop,
         ),
         grid=(B // _BT,),
         in_specs=[
@@ -815,6 +927,7 @@ def pm_locked_fused(
             pl.BlockSpec((nhi, kp), lambda bi: (0, 0)),
             pl.BlockSpec((256, kp), lambda bi: (0, 0)),
             pl.BlockSpec((256, kp), lambda bi: (0, 0)),
+            *chirp_specs,
         ],
         out_specs=[
             pl.BlockSpec((_BT, n), lambda bi: (bi, 0)),
@@ -841,5 +954,6 @@ def pm_locked_fused(
         mixh.real, mixh.imag, mixl.real, mixl.imag,
         jnp.asarray(hi0.real), jnp.asarray(hi0.imag),
         jnp.asarray(lo0.real), jnp.asarray(lo0.imag),
+        *chirp_ops,
     )
     return bb, stat[:, 2], stat[:, 0], stat[:, 1]

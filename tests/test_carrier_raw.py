@@ -223,3 +223,68 @@ def test_pm_demod_scan_csum_matches_block_scan():
         jnp.swapaxes(out2.baseband, 0, 1).reshape(nch, T * n), np.int32
     )
     assert np.abs(bb1 - bb2).max() <= 1
+
+
+def test_pm_demod_block_raw_doppler_matches_block():
+    """Doppler no longer kicks the chirping-downlink configuration off
+    the fast path (VERDICT r3 weak #6): with doppler_rate set, the fused
+    kernels fold the de-chirp into the mix angle and the raw block step
+    still matches the classic (doppler_chirp + spin_down) block step."""
+    cfg = carrier.PMConfig(
+        samprate=32768.0,
+        binsize=4.0,
+        search_width=100.0,
+        search_backend="pallas_interpret",
+        doppler_rate=50.0,
+    )
+    n = cfg.fftsize
+    nch = 8
+    rng = np.random.default_rng(21)
+    data = rng.integers(0, 2, 128) * 2 - 1
+    freqs = 2000.0 + 137.0 * np.arange(nch)
+    # genuinely chirping carriers: the quadratic phase the de-chirp
+    # (pmdemod.c:232-244, per-block restart) exactly removes
+    i = np.arange(n, dtype=np.float64)
+    chirp = np.exp(
+        2j * np.pi * (cfg.doppler_rate / cfg.samprate**2) * (i * (i + 1) / 2)
+    )
+    iq = np.stack(
+        [
+            (
+                pm_signal(n, cfg.samprate, f, 1.1, data, 32.0, amp=12000)
+                + rng.normal(0, 300, n)
+                + 1j * rng.normal(0, 300, n)
+            )
+            * chirp
+            for f in freqs
+        ]
+    )
+    raw = _raw_int16(iq)
+    iq_q = raw.astype(np.float32).reshape(nch, n, 2)
+    iq_c = (iq_q[..., 0] + 1j * iq_q[..., 1]).astype(np.complex64)
+    carry = carrier.PMCarry(
+        search_center=jnp.asarray(freqs, jnp.float32),
+        cn0=jnp.full((nch,), 60.0, jnp.float32),
+    )
+
+    assert carrier._raw_fast_capable(cfg, nch, n), "doppler left the fast path"
+
+    c_ref, out_ref = carrier.pm_demod_block(carry, jnp.asarray(iq_c), cfg)
+    c_raw, out_raw = carrier.pm_demod_block_raw(carry, jnp.asarray(raw), cfg)
+    assert np.asarray(out_ref.locked).all(), "reference path failed to lock"
+    np.testing.assert_array_equal(
+        np.asarray(out_raw.locked), np.asarray(out_ref.locked)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_raw.carrier_freq),
+        np.asarray(out_ref.carrier_freq),
+        atol=5e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_raw.cn0), np.asarray(out_ref.cn0), atol=2e-2
+    )
+    diff = np.abs(
+        np.asarray(out_raw.baseband, np.int32)
+        - np.asarray(out_ref.baseband, np.int32)
+    )
+    assert diff.max() <= 1, diff.max()

@@ -241,3 +241,63 @@ def test_fano_two_tier_matches_single_budget():
     t1_cap = cfg_tier.fano_tier1_maxcycles * FRAMEBITS
     rescued = (cyc2[2] > t1_cap) & good2[2]
     assert rescued.any(), f"tune noise: cycles {cyc2[2]}, good {good2[2]}"
+
+
+def test_qlec_tier_matches_fano_on_scattered_errors():
+    """The middle (quicklook-EC) tier corrects scattered symbol errors
+    and its accepted frames are bit-identical to the Fano decode of the
+    same symbols (VERDICT r3 next #3)."""
+    from isee3_decoder_tpu.models.decode import DECODER_QLEC
+
+    rng = np.random.default_rng(11)
+    nframes = 2
+    frames = testsignal.random_frames(rng, nframes + 1)
+    syms = np.asarray(testsignal.frames_to_symbols(frames))
+    soft = np.where(syms > 0, 228, 28).astype(np.uint8)
+    # scatter a few well-separated symbol errors inside each frame
+    # (> K pairs apart so every burst is isolated)
+    for pos in (2500, 2700, 3100, 3900, 4700, 5600):
+        soft[pos] = 255 - soft[pos]
+    stream = soft[None, :]
+    ss, _ = find_sync(jnp.asarray(stream[:, :4096]), 2048)
+
+    cfg_ec = DecodeConfig(qlec=True)
+    rec = decode_frames_batch(stream, np.asarray(ss, np.int64), nframes, cfg_ec)
+    assert rec.good.all()
+    assert (rec.decoder == DECODER_QLEC).any(), "no lane took the EC tier"
+    assert (rec.fano_cycles == 0).all()
+
+    # oracle: the full Fano walk on the same stream
+    rec_f = decode_frames_batch(
+        stream, np.asarray(ss, np.int64), nframes,
+        DecodeConfig(quicklook=False),
+    )
+    np.testing.assert_array_equal(rec.data, rec_f.data)
+    data = rec.data.reshape(nframes, 128)
+    for f in range(nframes):
+        np.testing.assert_array_equal(data[f], frames[f + 1])
+
+
+def test_qlec_rejects_unexplained_residuals():
+    """Dense/bursty corruption must NOT be accepted by the EC tier —
+    those lanes fall through to the Fano walk unchanged."""
+    from isee3_decoder_tpu.models.decode import DECODER_QLEC
+
+    rng = np.random.default_rng(12)
+    nframes = 1
+    frames = testsignal.random_frames(rng, nframes + 1)
+    syms = np.asarray(testsignal.frames_to_symbols(frames))
+    soft = np.where(syms > 0, 228, 28).astype(np.uint8)
+    # a dense error clump (several errors inside one constraint length)
+    for pos in range(3000, 3030, 3):
+        soft[pos] = 255 - soft[pos]
+    stream = soft[None, :]
+    ss, _ = find_sync(jnp.asarray(stream[:, :4096]), 2048)
+    cfg_ec = DecodeConfig(qlec=True)
+    rec = decode_frames_batch(stream, np.asarray(ss, np.int64), nframes, cfg_ec)
+    # Fano (or its tiers) must still decode it correctly; the EC label
+    # must not appear with a clump it cannot exactly explain
+    rec_f = decode_frames_batch(
+        stream, np.asarray(ss, np.int64), nframes, DecodeConfig(quicklook=False)
+    )
+    np.testing.assert_array_equal(rec.data, rec_f.data)
