@@ -43,6 +43,7 @@ cfg = PipelineConfig(
     decode=D.DecodeConfig(
         viterbi_backend=os.environ.get("PROBE_VBACKEND", "inplace"),
         fano_tier1_maxcycles=12,
+        qlec=os.environ.get("PROBE_QLEC", "0") == "1",
     ),
 )
 
