@@ -83,8 +83,10 @@ class FanoParams:
     delta: int = 32  # threshold step (Fano_delta = 4 * Fano_scale)
     maxcycles: int = 100  # forward-looks per bit before giving up
     # micro-steps per while_loop iteration: purely a performance knob
-    # (identical walk).  None = backend default: 8 on TPU (v5e sweeps in
-    # scripts/tpu_fano_unroll_probe.py show deeper is mildly better),
+    # (identical walk).  None = backend default: 16 on TPU (v5e sweep on
+    # a timeout-bound walk: 9.8/6.0/6.1/6.2 µs per micro-step at unroll
+    # 8/16/32/64 — scripts/tpu_fano_unroll_tier2.py; the register-
+    # carried body amortizes its fixed while_loop overhead up to ~16),
     # 2 elsewhere — the XLA *CPU* backend fails to alias the
     # register-carried walk's tape buffer across unrolled steps, and
     # both compile time and per-iteration run time blow up
@@ -95,7 +97,7 @@ class FanoParams:
     def resolved_unroll(self) -> int:
         if self.unroll is not None:
             return max(self.unroll, 1)
-        return 8 if jax.default_backend() == "tpu" else 2
+        return 16 if jax.default_backend() == "tpu" else 2
 
 
 def fano_decode(

@@ -7,6 +7,10 @@ Complements tests/test_golden_c.py (metrics/encoder/symdemod/Fano decode).
 
 from __future__ import annotations
 
+import os
+import subprocess
+import sys
+
 import numpy as np
 import pytest
 
@@ -158,3 +162,107 @@ def test_decode_viterbi_fallback_matches_c(flags):
     assert cf[1]["decoder"] == "Viterbi"
     assert not cf[1]["bad"]
     assert cf[1]["data"] == frames[1].tobytes()
+
+
+def _parse_plot(path):
+    xs, ys = [], []
+    for ln in open(path):
+        if ln.startswith("dot "):
+            _, x, y = ln.split()
+            xs.append(float(x))
+            ys.append(float(y))
+    return np.array(xs), np.array(ys)
+
+
+@pytest.mark.slow
+def test_autocorrelate_plots_match_c(tmp_path):
+    """autocorrelate's three .plot dumps vs the compiled C binary
+    (FFTW-shim build).  The C inverse transform is unnormalized (factor
+    corr_size); the repo's numpy irfft is normalized — compare with the
+    size scale applied."""
+    from _golden_builder import golden_bin
+
+    rng = np.random.default_rng(23)
+    n = 32768  # exact power of two: no past-EOF mmap reads in the C
+    samples = (
+        2000 * np.sin(2 * np.pi * 1024.0 * np.arange(n) / 32768.0)
+        + rng.normal(0, 300, n)
+    ).astype(np.int16)
+    bb = tmp_path / "bb.i16"
+    samples.tofile(bb)
+
+    cdir = tmp_path / "c"
+    cdir.mkdir()
+    proc = subprocess.run(
+        [str(golden_bin("autocorrelate")), "-r", "32768", str(bb)],
+        capture_output=True, cwd=cdir, timeout=600, env={"LANG": "C"},
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+
+    pdir = tmp_path / "py"
+    pdir.mkdir()
+    import pathlib
+
+    env = dict(
+        os.environ,
+        ISEE3_CPU="1",
+        PYTHONPATH=str(pathlib.Path(__file__).resolve().parents[1]),
+    )
+    proc = subprocess.run(
+        [sys.executable, "-m", "isee3_decoder_tpu.cli.autocorrelate",
+         "-r", "32768", str(bb)],
+        capture_output=True, cwd=pdir, timeout=600, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+
+    for name, scale in (
+        ("spectrum.plot", 1.0),
+        ("autospect.plot", 1.0),
+        ("autocorr.plot", float(n)),
+    ):
+        cx, cy = _parse_plot(cdir / name)
+        px, py = _parse_plot(pdir / name)
+        assert cx.shape == px.shape, name
+        np.testing.assert_allclose(px, cx, rtol=1e-9, atol=1e-6, err_msg=name)
+        np.testing.assert_allclose(
+            py * scale, cy, rtol=1e-5, atol=2e-2, err_msg=name
+        )
+
+
+@pytest.mark.slow
+def test_spindown_output_matches_c(tmp_path):
+    """spindown float64 baseband vs the compiled C binary: same mixer
+    with the per-block phase restart; the C's iterative complex
+    oscillator accumulates rounding the closed-form LO does not, so
+    compare to the oscillator's drift tolerance rather than byte-exact."""
+    from _golden_builder import golden_bin
+
+    rng = np.random.default_rng(29)
+    n = 131072  # exactly one C block: no past-EOF mmap reads
+    i = np.arange(n)
+    z = 8000 * np.exp(2j * np.pi * 5000.0 * i / 250000.0) + (
+        rng.normal(0, 500, n) + 1j * rng.normal(0, 500, n)
+    )
+    ri = np.stack([z.real, z.imag], axis=-1).reshape(-1)
+    raw = np.trunc(np.clip(ri, -32767, 32767)).astype(np.int16)
+    iqf = tmp_path / "in.iq"
+    raw.tofile(iqf)
+
+    c_out = subprocess.run(
+        [str(golden_bin("spindown")), "-q", "-c", "5000", str(iqf)],
+        capture_output=True, timeout=600, env={"LANG": "C"},
+    )
+    assert c_out.returncode == 0, c_out.stderr[-2000:]
+    cvals = np.frombuffer(c_out.stdout, "<f8")
+
+    env = dict(os.environ, ISEE3_CPU="1")
+    p_out = subprocess.run(
+        [sys.executable, "-m", "isee3_decoder_tpu.cli.spindown",
+         "-q", "-c", "5000", str(iqf)],
+        capture_output=True, timeout=600, env=env,
+    )
+    assert p_out.returncode == 0, p_out.stderr[-2000:]
+    pvals = np.frombuffer(p_out.stdout, "<f8")
+
+    assert cvals.shape == pvals.shape
+    np.testing.assert_allclose(pvals, cvals, rtol=1e-9, atol=1e-5)
