@@ -301,3 +301,26 @@ def test_qlec_rejects_unexplained_residuals():
         stream, np.asarray(ss, np.int64), nframes, DecodeConfig(quicklook=False)
     )
     np.testing.assert_array_equal(rec.data, rec_f.data)
+
+
+def test_qlec_device_block_matches_batch_path():
+    """The fused device decode (decode_block) with qlec enabled returns
+    the same frames/labels as the host-orchestrated batch path."""
+    from isee3_decoder_tpu.models.decode import decode_block
+
+    rng = np.random.default_rng(13)
+    nframes = 2
+    frames = testsignal.random_frames(rng, nframes + 1)
+    syms = np.asarray(testsignal.frames_to_symbols(frames))
+    soft = np.where(syms > 0, 228, 28).astype(np.uint8)
+    for pos in (2600, 3300, 4100, 5200):
+        soft[pos] = 255 - soft[pos]
+    stream = soft[None, :]
+    ss, _ = find_sync(jnp.asarray(stream[:, :4096]), 2048)
+    cfg_ec = DecodeConfig(qlec=True)
+
+    rec_b = decode_frames_batch(stream, np.asarray(ss, np.int64), nframes, cfg_ec)
+    rec_d, _ss = decode_block(jnp.asarray(stream), nframes, cfg_ec)
+    np.testing.assert_array_equal(rec_d.data, rec_b.data)
+    np.testing.assert_array_equal(rec_d.decoder, rec_b.decoder)
+    np.testing.assert_array_equal(rec_d.good, rec_b.good)
