@@ -229,3 +229,20 @@ def test_fano_wide_j50_tail_roundtrip():
     res = fano_decode(jnp.asarray(soft), jnp.asarray(mettab), nbits, 0, tail, J50)
     assert int(res.goodbits[0]) == nbits
     np.testing.assert_array_equal(np.asarray(res.bits[0]), bits)
+
+
+def test_fano_wide_j60_roundtrip():
+    """K=60 — the catalog's largest code (code.h:159-164, POLY1=1 pure
+    QLI): the split-word walk's hi word carries 28 state bits."""
+    from isee3_decoder_tpu.config import J60
+
+    rng = np.random.default_rng(14)
+    nbits = 96
+    tail = 0x155AA55AA55AA  # 51 significant bits
+    signal, noise = 80.0, ebn0_to_noise(80.0, 6.0)
+    mettab = gen_met(signal, noise, 0.5, 8.0)
+    bits, syms = make_frame(rng, J60, nbits, tailbits=tail)
+    soft = np.where(syms > 0, 200, 56).astype(np.uint8)
+    res = fano_decode(jnp.asarray(soft), jnp.asarray(mettab), nbits, 0, tail, J60)
+    assert int(res.goodbits[0]) == nbits
+    np.testing.assert_array_equal(np.asarray(res.bits[0]), bits)
