@@ -32,12 +32,13 @@ def main(argv=None) -> int:
     p.add_argument("--backend", default="jnp",
                    choices=["jnp", "inplace", "fused"],
                    help="Viterbi kernel backend (bit-identical outputs)")
-    p.add_argument("--qlec", action="store_true",
-                   help="enable the quicklook-EC middle tier (algebraic"
-                   " correction of scattered symbol errors; frames decode"
-                   " identically to Fano but skip the walk — labels read"
-                   " 'Quicklook-EC' instead of 'Fano', so off by default"
-                   " for reference-parity output)")
+    p.add_argument("--strict-labels", action="store_true",
+                   help="disable the quicklook-EC middle tier so decoder"
+                   " labels match decode.c exactly (the reference has no"
+                   " such tier; frames it accepts are labeled"
+                   " 'Quicklook-EC' instead of 'Fano').  Frame BYTES are"
+                   " identical either way — the tier only skips the Fano"
+                   " walk on frames it can correct algebraically")
     p.add_argument("--no-quicklook", action="store_true",
                    help="disable the quick-look fast tier (error-free "
                         "frames then always pay the Fano walk; output "
@@ -71,7 +72,7 @@ def main(argv=None) -> int:
         fano_maxcycles=100,
         viterbi_backend=a.backend,
         quicklook=not a.no_quicklook,
-        qlec=a.qlec,
+        qlec=not a.strict_labels,
     )
     print(
         f"decode: Fano {'enabled' if fano_enabled else 'disabled'}; "

@@ -7,25 +7,46 @@ known tail-bit forcing (fano.c:141-147), and a cycles-per-bit timeout
 (fano.c:106,110).
 
 TPU-native reformulation: the reference's data-dependent walk (forward
-look, then an inner multi-step backtrack loop) is flattened into a single
-``lax.while_loop`` of *micro-steps*.  Each batch element carries a mode
-flag — FORWARD elements attempt one branch extension (costing one cycle,
-matching the reference's outer-loop cycle count), BACKTRACK elements take
-one step of the inner loop (costing nothing, as in the reference).  All
-frames in the batch advance in lockstep until every one has finished or
-timed out — Fano's wildly variable per-frame cost (CHANGES:21) is
-absorbed by the batch dimension instead of a single CPU core.
+look, then an inner multi-step backtrack loop) is flattened into a
+``lax.while_loop`` of *micro-steps*.  Every active batch element makes
+one forward look per micro-step (costing one cycle, matching the
+reference's outer-loop cycle count); an element whose look violates the
+threshold resolves its ENTIRE backtrack inner loop in the same
+micro-step (costing nothing, as in the reference).  All frames in the
+batch advance in lockstep until every one has finished or timed out —
+Fano's wildly variable per-frame cost (CHANGES:21) is absorbed by the
+batch dimension instead of a single CPU core.
+
+The pop-run collapse (round 5): the reference's inner backtrack loop
+(fano.c:169-188) scans DOWN the path — pop while the previous node's
+metric stays >= the threshold, stopping at the first node whose second
+branch is still untried (toggle and resume forward) or, failing that,
+where the path metric dips below the threshold (relax the threshold).
+During the run nothing it reads changes, so the stop point is a pure
+function of the tape: with jr = max j < np where gamma[j] < t and
+jt = max j < np where (ibr[j] == 0 and j < tail_start),
+
+  toggle at node jt        iff jt > jr,
+  relax  at node jr + 1    otherwise (jr = -1 ⇒ relax at node 0).
+
+Both are one masked max-reduction over a dense per-node array — the
+whole data-dependent pop-run becomes two vector reductions + one
+record fetch, instead of one micro-step per pop (the step-by-step walk
+spent ~17 micro-steps per forward look near the Fano cliff; the
+collapsed walk spends exactly one).
 
 The per-node state (cumulative metric, sorted branch metrics, branch
 index, encoder-state hypothesis — the array-of-structs ``struct node``
 of fano.c:13-19) splits into the CURRENT node's record carried in
-per-lane scan registers and a stride-8 push-down tape (with the static
-4-way branch metrics interleaved into each record), so each micro-step
-costs exactly ONE mode-selected 4-wide gather — forward lanes read the
-next node's metrics, backtrack lanes read the back node's record — and
-ONE 4-wide scatter that pushes the record only when a lane advances
-(indexed-element count is what per-row gathers/scatters cost on the
-TPU runtime).
+per-lane scan registers, a stride-8 push-down tape (with the static
+4-way branch metrics interleaved into each record), and a dense
+(B, N+1) mirror D = (gamma << 1) | ibr that feeds the collapse
+reductions (gamma < t ⟺ D < t << 1 since ibr ∈ {0,1}).  Each
+micro-step costs ONE mode-selected 4-wide gather — advancing lanes
+read the next node's metrics, collapsing lanes read the target node's
+record — two masked reductions over D, and ONE 4-wide + ONE 1-wide
+push scatter (indexed-element count is what per-row gathers/scatters
+cost on the TPU runtime).
 """
 
 from __future__ import annotations
@@ -93,6 +114,11 @@ class FanoParams:
     # super-linearly with the unroll depth (measured 0.7/1.1/4.0/>500 s
     # compile at 1/2/4/8 under x64).
     unroll: int | None = None
+    #: walk executor: "auto" picks the full-walk Pallas kernel
+    #: (ops/fano_pallas.py — tape in VMEM, one kernel launch) on the TPU
+    #: backend when shapes allow, the XLA lockstep walk otherwise;
+    #: "xla" / "pallas" force one.  Bit-identical outcomes.
+    backend: str = "auto"
 
     def resolved_unroll(self) -> int:
         if self.unroll is not None:
@@ -146,6 +172,18 @@ def fano_decode(
         return _fano_decode_wide(
             symbols, mettab, nbits, pair(encstate), pair(tailbits),
             code, params, skip,
+        )
+    B = symbols.shape[0] if symbols.ndim > 1 else 1
+    use_pallas = params.backend == "pallas"
+    if params.backend == "auto" and jax.default_backend() == "tpu":
+        from isee3_decoder_tpu.ops import fano_pallas
+
+        use_pallas = fano_pallas.supports(nbits, B, code)
+    if use_pallas:
+        from isee3_decoder_tpu.ops import fano_pallas
+
+        return fano_pallas.fano_decode_pallas(
+            symbols, mettab, nbits, encstate, tailbits, code, params, skip
         )
     return _fano_decode_packed(
         symbols, mettab, nbits, encstate, tailbits, code, params, skip
@@ -234,19 +272,20 @@ def _fano_decode_packed(
     # there unconditionally — no read-modify-write.  The layout matters
     # because per-row gather/scatter cost on this runtime scales with
     # the gathered ELEMENT count: a forward look only needs the next
-    # node's metrics (4 lanes), a backtrack step only the back node's
-    # record (4 lanes) — one mode-selected 4-wide gather serves both,
-    # and the only scatter is the 4-wide record push when a lane
-    # advances.  (Earlier generations gathered 6+4 resp. 10 wide per
-    # micro-step; unroll sweeps show the walk is body-bound, so indexed
-    # element count is the whole game —
-    # scripts/tpu_fano_unroll_probe.py.)
+    # node's metrics (4 lanes), a pop-run collapse only the target
+    # node's record (4 lanes) — one mode-selected 4-wide gather serves
+    # both.  D is the dense (B, N+1) collapse mirror (module docstring):
+    # D[:, i] = (gamma_i << 1) | ibr_i, maintained by a second (1-wide)
+    # push scatter and consumed by the two masked max-reductions that
+    # resolve a whole backtrack inner loop at once.
     m4pad = jnp.concatenate(
         [metrics4.astype(jnp.int32), jnp.zeros((B, 1, 4), jnp.int32)], axis=1
     )
     S = jnp.concatenate(
         [jnp.zeros((B, N + 1, 4), jnp.int32), m4pad], axis=-1
     ).reshape(B, 8 * N + 8)
+    D = jnp.zeros((B, N + 1), jnp.int32)
+    node_j = jnp.arange(N + 1, dtype=jnp.int32)[None, :]
 
     def sel4(m4, s):
         """m4[b, s[b]] for s in {0..3} via selects — per-row gathers
@@ -259,7 +298,6 @@ def _fano_decode_packed(
         np_idx: jax.Array
         t: jax.Array
         cycles: jax.Array
-        mode: jax.Array  # 0 = forward look, 1 = backtracking
         done: jax.Array
         g: jax.Array  # current node's cumulative path metric
         tm0: jax.Array  # current node's best branch metric
@@ -267,13 +305,13 @@ def _fano_decode_packed(
         enc: jax.Array  # current node's encoder-state hypothesis
         ibr: jax.Array  # current node's branch index (0 or 1)
         S: jax.Array  # (B, 8N+8) push-down tape + interleaved metrics
+        D: jax.Array  # (B, N+1) dense (gamma << 1) | ibr collapse mirror
 
     zero = jnp.zeros((B,), jnp.int32)
     init = Carry(
         np_idx=zero,
         t=zero,
         cycles=zero,
-        mode=zero,
         done=(
             jnp.zeros((B,), bool)
             if skip is None
@@ -285,6 +323,7 @@ def _fano_decode_packed(
         enc=enc0 | bit_r,
         ibr=zero,
         S=S,
+        D=D,
     )
 
     def cond(c: Carry):
@@ -292,30 +331,11 @@ def _fano_decode_packed(
 
     def body(c: Carry) -> Carry:
         np_idx, t = c.np_idx, c.t
-        fwd = (c.mode == 0) & ~c.done
-        bwd = (c.mode == 1) & ~c.done
-
-        back_np = np_idx - 1
-        back_np_c = jnp.maximum(back_np, 0)
+        active = ~c.done
         new_np = np_idx + 1
-        # ONE mode-selected 4-wide gather: forward lanes fetch the next
-        # node's interleaved branch metrics, backtrack lanes fetch the
-        # back node's tape record.  (The current node's record rides in
-        # the carry registers, so nothing else needs indexing.)
-        gbase = jnp.where(
-            fwd, 8 * jnp.clip(new_np, 0, N - 1) + 4, 8 * back_np_c
-        )
-        gidx = gbase[:, None] + jnp.arange(4, dtype=jnp.int32)[None, :]
-        g4 = jnp.take_along_axis(c.S, gidx, axis=1)
-        # backtrack-lane view of the gather
-        g_prev = g4[:, 0]
-        tm0_b, tm1_b = g4[:, 1], g4[:, 2]
-        e_back = g4[:, 3]
-        enc_back, back_ibr = e_back & encmask, e_back >> kb
-        # forward-lane view
-        m4 = g4
 
         # ---------- forward look (fano.c:117-166) ----------
+        # Every active lane looks forward; register math only.
         tm_np = jnp.where(c.ibr == 0, c.tm0, c.tm1)
         ngamma = c.g + tm_np
         ok = ngamma >= t
@@ -325,8 +345,48 @@ def _fano_decode_packed(
             tighten, t + delta * ((ngamma - t) // delta), t
         )
         at_last = np_idx == (N - 1)
-        newly_done = fwd & ok & at_last
-        advance = fwd & ok & ~at_last
+        newly_done = active & ok & at_last
+        advance = active & ok & ~at_last
+        violate = active & ~ok  # resolve the whole pop-run this step
+
+        # ---------- pop-run collapse (fano.c:169-188) ----------
+        # jr: deepest-from-top relax stop; jt: deepest-from-top toggle
+        # candidate.  gamma[j] < t ⟺ D[j] < t<<1 (ibr is the LSB).
+        below = node_j < np_idx[:, None]
+        jr = jnp.max(
+            jnp.where(below & (c.D < (t << 1)[:, None]), node_j, -1), axis=1
+        )
+        jt = jnp.max(
+            jnp.where(
+                below & (node_j < tail_start) & ((c.D & 1) == 0), node_j, -1
+            ),
+            axis=1,
+        )
+        do_toggle = violate & (jt > jr)
+        do_relax = violate & ~(jt > jr)
+        target = jnp.where(do_toggle, jt, jr + 1)  # node to resume at
+        # relax at the current node (no pops): registers already hold it
+        from_regs = do_relax & (target == np_idx)
+
+        # ONE mode-selected 4-wide gather: advancing lanes fetch the
+        # next node's interleaved branch metrics, collapsing lanes fetch
+        # the resume target's tape record.
+        gbase = jnp.where(
+            advance,
+            8 * jnp.clip(new_np, 0, N - 1) + 4,
+            8 * jnp.clip(target, 0, N - 1),
+        )
+        gidx = gbase[:, None] + jnp.arange(4, dtype=jnp.int32)[None, :]
+        g4 = jnp.take_along_axis(c.S, gidx, axis=1)
+        # collapse-lane view of the gather (resume node's record)
+        e_rec = g4[:, 3]
+        base_g = jnp.where(from_regs, c.g, g4[:, 0])
+        base_tm0 = jnp.where(from_regs, c.tm0, g4[:, 1])
+        base_tm1 = jnp.where(from_regs, c.tm1, g4[:, 2])
+        base_enc = jnp.where(from_regs, c.enc, e_rec & encmask)
+        base_ibr = jnp.where(from_regs, c.ibr, e_rec >> kb)
+        # advance-lane view
+        m4 = g4
 
         adv_enc = (c.enc << 1) & encmask
         lsym = _makesyms(adv_enc, code)
@@ -347,58 +407,44 @@ def _fano_decode_packed(
         adv_tm1 = jnp.where(in_tail, tail_tm0, sort_tm1)
         adv_bit = jnp.where(in_tail, tbit, sort_bit)
 
-        # threshold violated -> start backtracking (fano.c:168)
-        to_bwd = fwd & ~ok
-
-        # ---------- one backtrack step (fano.c:169-188) ----------
-        cant_back = (np_idx == 0) | (g_prev < t)
-        relax = bwd & cant_back  # relax threshold (fano.c:171-179)
-        stepback = bwd & ~cant_back
-
-        # after backing up: try next-best branch if allowed (fano.c:182-186)
-        can_try = (back_np < tail_start) & (back_ibr != 1)
-        toggle_next = stepback & can_try  # switch to 2nd branch, resume fwd
-
-        # relax: t -= delta; reset current node to best branch
-        relax_flip = relax & (c.ibr != 0)
-
         # ---------- merge updates ----------
-        np_next = jnp.where(advance, new_np, jnp.where(stepback, back_np, np_idx))
-        t_next = jnp.where(fwd & ok, t_fwd, jnp.where(relax, t - delta, t))
-        mode_next = jnp.where(
-            to_bwd, 1, jnp.where(relax | toggle_next, 0, c.mode)
+        np_next = jnp.where(advance, new_np, jnp.where(violate, target, np_idx))
+        t_next = jnp.where(
+            active & ok, t_fwd, jnp.where(do_relax, t - delta, t)
         )
         done_next = c.done | newly_done
         # Timeout parity with fano.c:110: the budget counts forward looks
-        # (backtrack steps ride inside the same C loop iteration), and the
-        # i<=maxcycles check happens at the TOP of the loop — so a lane
-        # whose last forward look violated the threshold still completes
-        # its backtrack micro-steps (until it is forward-ready again)
-        # before stopping.  Gate the timeout on mode_next == 0.
-        cycles_next = c.cycles + fwd.astype(jnp.int32)
-        timeout = ~done_next & (cycles_next >= max_total) & (mode_next == 0)
+        # (backtrack steps ride inside the same C loop iteration), and
+        # the i<=maxcycles check happens at the TOP of the loop — a lane
+        # whose last look violated still resolves its pop-run (this very
+        # micro-step) before stopping, so its final state matches the
+        # reference's forward-ready state exactly.
+        cycles_next = c.cycles + active.astype(jnp.int32)
+        timeout = ~done_next & active & (cycles_next >= max_total)
         done_next = done_next | timeout
 
         # ---------- register updates ----------
         # advance: registers become the new node's freshly sorted record;
-        # stepback: the back node's tape record (with the branch toggle
-        # applied when allowed); relax: reset the current node to its
-        # best branch (enc LSB flips only if it sat on branch 1).
-        g_next = jnp.where(advance, ngamma, jnp.where(stepback, g_prev, c.g))
+        # toggle: the resume node's record switched to its 2nd branch;
+        # relax: the resume node's record reset to its best branch (enc
+        # LSB flips only if it sat on branch 1).
+        g_next = jnp.where(advance, ngamma, jnp.where(violate, base_g, c.g))
         tm0_next = jnp.where(
-            advance, adv_tm0, jnp.where(stepback, tm0_b, c.tm0)
+            advance, adv_tm0, jnp.where(violate, base_tm0, c.tm0)
         )
         tm1_next = jnp.where(
-            advance, adv_tm1, jnp.where(stepback, tm1_b, c.tm1)
+            advance, adv_tm1, jnp.where(violate, base_tm1, c.tm1)
         )
         enc_next = jnp.where(
             advance,
             adv_enc | adv_bit,
             jnp.where(
-                toggle_next,
-                enc_back ^ 1,
+                do_toggle,
+                base_enc ^ 1,
                 jnp.where(
-                    stepback, enc_back, jnp.where(relax_flip, c.enc ^ 1, c.enc)
+                    do_relax,
+                    base_enc ^ (base_ibr != 0).astype(jnp.int32),
+                    c.enc,
                 ),
             ),
         )
@@ -406,28 +452,31 @@ def _fano_decode_packed(
             advance,
             0,
             jnp.where(
-                toggle_next,
-                back_ibr + 1,
-                jnp.where(stepback, back_ibr, jnp.where(relax, 0, c.ibr)),
+                do_toggle,
+                base_ibr + 1,
+                jnp.where(do_relax, 0, c.ibr),
             ),
         )
 
-        # ONE 4-wide scatter: advancing lanes PUSH the current node's
-        # record onto the tape at its slot; everyone else writes their
-        # dump slot.  Only fields 0..3 of a stride-8 record are written
-        # (the interleaved metrics at 8i+4..7 stay static).
+        # push scatters: advancing lanes PUSH the current node's record
+        # onto the tape (4-wide into S, 1-wide into the dense mirror D);
+        # everyone else writes their dump slot.  Only fields 0..3 of a
+        # stride-8 S record are written (the interleaved metrics at
+        # 8i+4..7 stay static).
         w8 = jnp.where(advance, 8 * np_idx, 8 * N)
         sidx = w8[:, None] + jnp.arange(4, dtype=jnp.int32)[None, :]
         svals = jnp.stack(
             [c.g, c.tm0, c.tm1, (c.ibr << kb) | c.enc], axis=1
         )
         S_next = c.S.at[bidx[:, None], sidx].set(svals)
+        D_next = c.D.at[
+            bidx, jnp.where(advance, np_idx, N)
+        ].set((c.g << 1) | c.ibr)
 
         return Carry(
             np_idx=np_next,
             t=t_next,
             cycles=cycles_next,
-            mode=mode_next,
             done=done_next,
             g=g_next,
             tm0=tm0_next,
@@ -435,6 +484,7 @@ def _fano_decode_packed(
             enc=enc_next,
             ibr=ibr_next,
             S=S_next,
+            D=D_next,
         )
 
     def body_unrolled(c: Carry) -> Carry:

@@ -40,7 +40,9 @@ def test_decode_frames_batch_multichannel():
     want_ss = np.array(offs) + 2048 - 34
     np.testing.assert_array_equal(ss, want_ss)
 
-    rec = decode_frames_batch(stream, ss, nframes, DecodeConfig())
+    # qlec off: this test pins the FANO path (with the default config the
+    # scattered ~6 dB errors would be absorbed by the quicklook-EC tier)
+    rec = decode_frames_batch(stream, ss, nframes, DecodeConfig(qlec=False))
     assert rec.good.all()
     data = rec.data.reshape(B, nframes, 128)
     for b in range(B):

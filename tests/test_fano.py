@@ -147,6 +147,43 @@ def test_fano_matches_oracle_noisy():
         np.testing.assert_array_equal(got_bits[:want_good], want_bits[:want_good])
 
 
+def test_fano_matches_oracle_at_cliff():
+    """Near-threshold stress: heavy noise drives most lanes through deep
+    pop-runs and into the maxcycles timeout — the regime the collapsed
+    backtrack (module docstring) must keep bit-exact.  Every lane's
+    bits / goodbits / metric / cycles must equal the step-by-step oracle,
+    including the FAILED lanes' partial outputs (fano.c:193-202)."""
+    rng = np.random.default_rng(7)
+    nbits = 96
+    mettab = gen_met(100.0, 60.0, 0.5, 8.0)
+    params = FanoParams(delta=32, maxcycles=8)
+    softs = []
+    for _ in range(16):
+        bits, syms = make_frame(rng, K7, nbits, tailbits=0x15, start=0x2A)
+        soft = np.clip(
+            np.round((syms.astype(np.int32) * 2 - 1) * 100
+                     + rng.normal(0, 90, 2 * nbits)) + 128,
+            0, 255,
+        ).astype(np.uint8)
+        softs.append(soft)
+    softs = np.stack(softs)
+    res = fano_decode(
+        jnp.asarray(softs), jnp.asarray(mettab), nbits, 0x2A, 0x15, K7, params
+    )
+    nfail = 0
+    for tr in range(len(softs)):
+        want_bits, want_good, want_metric, want_cycles = oracle_fano(
+            softs[tr], nbits, mettab, params.delta, params.maxcycles,
+            0x2A, 0x15, K7,
+        )
+        assert int(res.goodbits[tr]) == want_good, f"trial {tr}"
+        assert int(res.cycles[tr]) == want_cycles, f"trial {tr}"
+        assert int(res.metric[tr]) == want_metric, f"trial {tr}"
+        np.testing.assert_array_equal(np.asarray(res.bits[tr]), want_bits)
+        nfail += want_good != nbits
+    assert nfail >= 8, "stress test lost its teeth: most lanes decoded"
+
+
 def test_fano_mcqli24_frames():
     """MCQLI-24 frames at comfortable SNR decode with forced sync tail
     (the decode.c:202-203 call pattern, scaled down to 256-bit frames)."""

@@ -272,8 +272,9 @@ def test_decode_fano_quicklook_equivalence_vs_c():
         assert cf["data"] == mf["data"]
         assert cf["start_symbol"] == mf["start_symbol"]
         assert cf["bad"] == mf["bad"]
-        # decoder label may read Quicklook instead of Fano; bits identical
-        assert mf["decoder"] in ("Fano", "Quicklook")
+        # decoder label may read Quicklook / Quicklook-EC instead of
+        # Fano (qlec defaults on since round 5); bits identical
+        assert mf["decoder"] in ("Fano", "Quicklook", "Quicklook-EC")
 
 
 def test_decode_fano_bad_frame_flags_match_c():

@@ -70,8 +70,10 @@ def test_16bps_subcarrier_full_frame_decode():
     assert good, "no frame decoded in 16 bps mode"
     payloads = {bytes(r.data[0]) for r in good}
     assert bytes(frames[1]) in payloads  # frame 0 precedes first sync
+    from isee3_decoder_tpu.models.decode import DECODER_QLEC
+
     for r in good:
-        assert int(r.decoder[0]) in (DECODER_FANO, DECODER_QUICKLOOK)
+        assert int(r.decoder[0]) in (DECODER_FANO, DECODER_QUICKLOOK, DECODER_QLEC)
 
 
 @pytest.mark.slow

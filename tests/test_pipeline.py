@@ -59,10 +59,10 @@ def test_end_to_end_single_channel():
     assert matched == len(decoded) and matched >= 2
     # at this SNR frames decode via a device tier: the quicklook fast
     # path when the frame is error-free, Fano otherwise — never Viterbi
-    from isee3_decoder_tpu.models.decode import DECODER_QUICKLOOK
+    from isee3_decoder_tpu.models.decode import DECODER_QLEC, DECODER_QUICKLOOK
 
     assert all(
-        int(r.decoder[0]) in (DECODER_FANO, DECODER_QUICKLOOK)
+        int(r.decoder[0]) in (DECODER_FANO, DECODER_QUICKLOOK, DECODER_QLEC)
         for r in good_frames
     )
 
