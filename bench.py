@@ -149,6 +149,42 @@ def _measure() -> None:
         ),
     )
 
+    def prewarm_fallback_shapes():
+        """Compile every decode-fallback program shape BEFORE any timed
+        region (VERDICT r4 weak #1: tier-2 Fano / Viterbi variants
+        compiling inside the timed loops made the threshold number
+        unstable — a fresh Pallas walk variant costs ~40 s).
+
+        Shapes: the Pallas Fano walk compiles exactly two variants (128
+        / 256 lanes — fano_decode_pallas pads every caller batch to
+        those), warmed with instantly-decodable clean codewords; the
+        fused Viterbi kernel warms its pow-of-2 chunk sizes.
+        """
+        from isee3_decoder_tpu.config import FRAMEBITS, SYNC_STATE, SYNCWORD
+        from isee3_decoder_tpu.models.decode import _viterbi_decode
+        from isee3_decoder_tpu.ops.fano import fano_decode
+
+        prng = np.random.default_rng(7)
+        wframes = testsignal.random_frames(prng, 1)
+        syms = np.asarray(testsignal.frames_to_symbols(wframes))[: 2 * FRAMEBITS]
+        soft1 = np.where(syms > 0, 228, 28).astype(np.uint8)
+        tail = SYNCWORD & ((1 << (cfg.decode.code.k - 1)) - 1)
+        mettab = jnp.asarray(cfg.decode.mettab())
+        for b in (128, 256):
+            softs = jnp.asarray(np.broadcast_to(soft1, (b, soft1.size)))
+            # full-budget params = the tier-2 program; tier-1 warms via
+            # the fused-chain warmup (it is part of that program)
+            r = fano_decode(
+                softs, mettab, FRAMEBITS, SYNC_STATE, tail,
+                cfg.decode.code, cfg.decode.fano_params(),
+            )
+            float(r.cycles.sum())
+        vbatch = jnp.asarray(
+            np.broadcast_to(soft1, (8, soft1.size))
+        )
+        for chunk in (1, 2, 4):
+            float(_viterbi_decode(vbatch[:chunk], cfg.decode).sum())
+
     key = jax.random.PRNGKey(0)
     noise_clean = float(os.environ.get("BENCH_NOISE_STD", "2500"))
     # mid-SNR regime (C/N0 ≈ 31 dB-Hz): quicklook rejects and the REAL
@@ -187,6 +223,9 @@ def _measure() -> None:
     iq = to_raw(synth(frames_dev, key, noise_clean))
     soft, chk, cn0_min = demod_sum(iq)
     float(chk)
+    t0 = time.perf_counter()
+    prewarm_fallback_shapes()
+    t_prewarm = time.perf_counter() - t0
 
     # Time synth alone (scalar readback sync)
     t0 = time.perf_counter()
@@ -304,7 +343,15 @@ def _measure() -> None:
     keys_t = jax.random.split(jax.random.PRNGKey(1234), npipe)
     iqs_t = [to_raw(synth(frames_dev, k, noise_thr)) for k in keys_t]
     _ = float(iqs_t[-1][0, 0])
-    receive_block(iqs_t[0], f_avail, cfg)  # warm fallback compiles
+    # cold vs warm (VERDICT r4 next #2): with every fallback shape
+    # prewarmed, the first block should already be within noise of the
+    # steady state — record both so drift is visible in the artifact
+    t0 = time.perf_counter()
+    receive_block(iqs_t[0], f_avail, cfg)
+    t_thr_cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    receive_block(iqs_t[0], f_avail, cfg)
+    t_thr_serial = time.perf_counter() - t0
     recs_t = []
     t0 = time.perf_counter()
     for r, _ss in receive_blocks_pipelined(iqs_t, f_avail, cfg):
@@ -313,6 +360,46 @@ def _measure() -> None:
     rec_t = recs_t[-1]
     ngood_t, nmatched_t = frame_stats(rec_t)
     chan_rt_thr = total_samples / t_thr / samprate
+
+    # Wideband regime (VERDICT r4 missing #4): ONE synthetic wide
+    # capture carrying all nchan carriers → polyphase channelizer → the
+    # same fused receive chain, as one device program.  Per-channel
+    # length 2^21 (8.389 s) keeps the 2^28-point wide FFTs power-of-two.
+    wide_detail = None
+    if os.environ.get("BENCH_WIDEBAND", "1") == "1" and not small:
+        from isee3_decoder_tpu.models.pipeline import receive_block_wideband
+        from isee3_decoder_tpu.utils.devicesignal import (
+            synthesize_wideband_device,
+        )
+
+        del iqs_t  # free the threshold blocks' HBM before the wide FFTs
+
+        @jax.jit
+        def to_raw_wide(w):
+            ri = jnp.stack([w.real, w.imag], axis=-1).reshape(-1)
+            return jnp.trunc(jnp.clip(ri, -32767.0, 32767.0)).astype(jnp.int16)
+
+        Lw = 1 << 21
+        wide = synthesize_wideband_device(
+            frames_dev, carriers, jax.random.PRNGKey(5), Lw, nchan,
+            samprate=samprate, symrate=symrate, noise_std=noise_clean,
+        )
+        wraw = to_raw_wide(wide)
+        del wide
+        _ = float(wraw[0])
+        receive_block_wideband(wraw, nchan, f_avail, cfg)  # warm
+        t0 = time.perf_counter()
+        rec_w, _ssw = receive_block_wideband(wraw, nchan, f_avail, cfg)
+        t_wide = time.perf_counter() - t0
+        ngood_w, nmatched_w = frame_stats(rec_w)
+        del wraw
+        wide_detail = {
+            "realtime_channels": round(nchan * Lw / t_wide / samprate, 2),
+            "t_block_s": round(t_wide, 3),
+            "frames_good": ngood_w,
+            "frames_matched": nmatched_w,
+            "frames_possible": f_avail * nchan,
+        }
     dec_t = {
         "quicklook": 0,
         "qlec": 0,
@@ -375,11 +462,15 @@ def _measure() -> None:
                 "realtime_channels": round(chan_rt_thr, 2),
                 "noise_std": noise_thr,
                 "t_block_pipelined_s": round(t_thr, 3),
+                "t_block_cold_s": round(t_thr_cold, 3),
+                "t_chain_s": round(t_thr_serial, 3),
                 "frames_good": ngood_t,
                 "frames_matched": nmatched_t,
                 "frames_possible": f_avail * nchan,
                 "decoders": dec_t,
             },
+            "wideband": wide_detail,
+            "prewarm_s": round(t_prewarm, 3),
             "backend": jax.default_backend(),
         },
     }

@@ -261,7 +261,9 @@ def _fano_walk_pallas(
             return c
 
         def cond(c):
-            return jnp.sum(1 - c[3]) > 0
+            # dtype pinned: under x64 a default int sum would promote to
+            # int64, which Mosaic cannot lower
+            return jnp.sum(1 - c[3], dtype=jnp.int32) > 0
 
         zero = jnp.zeros((1, lanes), jnp.int32)
         init = (
@@ -327,6 +329,41 @@ def fano_decode_pallas(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     assert supports(nbits, B, code), "use ops.fano.fano_decode"
+
+    # Pad the batch to full lane width BEFORE the jitted walk so every
+    # caller shape compiles to at most TWO programs (128 / 256 lanes).
+    # The kernel pads to lane multiples internally anyway — without
+    # this, each distinct tier-2 straggler count would trace and
+    # compile its own ~40 s variant (pad lanes run skip=True and cost
+    # nothing: they start done).
+    lanes = _round_up(max(B, 1), 128)
+    if not interpret and lanes != B:
+        pad = lanes - B
+        symbols = jnp.pad(symbols, ((0, pad), (0, 0)))
+
+        def padv(v):  # per-lane encstate/tailbits arrays pad too
+            v = jnp.asarray(v)
+            return jnp.pad(v, (0, pad)) if v.ndim == 1 else v
+
+        encstate = padv(encstate) if isinstance(encstate, jax.Array) else encstate
+        tailbits = padv(tailbits) if isinstance(tailbits, jax.Array) else tailbits
+        if skip is None:
+            skip = jnp.arange(lanes) >= B
+        else:
+            skip = jnp.concatenate(
+                [jnp.broadcast_to(jnp.asarray(skip, bool), (B,)),
+                 jnp.ones((pad,), bool)]
+            )
+        full = fano_decode_pallas(
+            symbols, mettab, nbits, encstate, tailbits, code, params,
+            skip, interpret,
+        )
+        return FanoResult(
+            bits=full.bits[:B],
+            goodbits=full.goodbits[:B],
+            metric=full.metric[:B],
+            cycles=full.cycles[:B],
+        )
 
     N = nbits
     kb = code.kbits

@@ -77,3 +77,59 @@ def synthesize_iq_device(
             + 1j * jax.random.normal(ki, iq.shape, jnp.float32)
         )
     return iq.astype(jnp.complex64)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "nsamples", "nchan", "samprate", "symrate", "mod_index",
+        "amplitude", "noise_std", "code",
+    ),
+)
+def synthesize_wideband_device(
+    frames: jax.Array,
+    carrier_hz: jax.Array,
+    key: jax.Array,
+    nsamples: int,
+    nchan: int,
+    samprate: float = 250_000.0,
+    symrate: float = 1024.0,
+    mod_index: float = 1.1,
+    amplitude: float = 12_000.0,
+    noise_std: float = 0.0,
+    code: CodeSpec = DEFAULT_CODE,
+) -> jax.Array:
+    """(nchan, nframes, 128) frame bytes → ONE wideband capture carrying
+    one telemetry downlink per polyphase channel slot.
+
+    The flagship many-channel scenario (SURVEY.md §2.5 channel-axis row)
+    starts from a single wide receiver capture, not nchan separate
+    recordings.  Each channel's PM signal is synthesized at the channel
+    rate (`synthesize_iq_device`), then the wide capture is assembled in
+    the frequency domain: channel k's length-L spectrum occupies wide
+    bins kL+b (b < L/2) and (k-1)L+b (b >= L/2) — an exact, perfectly
+    bandlimited upsample-and-shift, so channel k of a critically sampled
+    polyphase channelizer recovers x_k to within prototype-filter error.
+
+    Args:
+      frames: (nchan, nframes, 128) uint8 frame bytes per channel.
+      carrier_hz: (nchan,) carrier offset WITHIN each channel slot
+        (i.e. relative to the slot center k*samprate).
+      nsamples: per-channel sample count L; the capture has
+        nchan*L complex samples at rate nchan*samprate.
+
+    Returns (nchan*nsamples,) complex64 wideband samples.
+    """
+    M = nchan
+    L = nsamples
+    x = synthesize_iq_device(
+        frames, carrier_hz, key, L,
+        samprate=samprate, symrate=symrate, mod_index=mod_index,
+        amplitude=amplitude, noise_std=noise_std, code=code,
+    )  # (M, L)
+    X = jnp.fft.fft(x, axis=-1)
+    wide_spec = jnp.concatenate(
+        [X[:, : L // 2], jnp.roll(X, -1, axis=0)[:, L // 2 :]], axis=1
+    ).reshape(M * L)
+    # length-ML inverse of length-L bins: amplitude needs the M factor
+    return (jnp.fft.ifft(wide_spec) * M).astype(jnp.complex64)

@@ -266,3 +266,43 @@ def test_spindown_output_matches_c(tmp_path):
 
     assert cvals.shape == pvals.shape
     np.testing.assert_allclose(pvals, cvals, rtol=1e-9, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Whole-stream FER parity at the Fano cliff (VERDICT r4 next #3): every
+# frame near threshold, the C hybrid policy deciding per frame between
+# Fano success, Viterbi fallback (prev-frame gated) and (bad).  The
+# sensitivity contract — not just clean-SNR labels — must match.
+
+
+@pytest.mark.slow
+def test_decode_fer_parity_at_cliff():
+    """Identical near-threshold soft symbols (Eb/N0 ≈ 1.9 dB — the
+    regime of the bench's noise_std=110000 threshold point) through the
+    compiled C decode and this repo's: frame bytes, start symbols,
+    decoder labels and (bad) flags must agree frame-for-frame, and the
+    stream must actually exercise the Viterbi fallback
+    (decode.c:209-231)."""
+    rng = np.random.default_rng(78)
+    # sigma 32 at amp 40: Es/N0 = 1600/2048 -> Eb/N0 = 1.9 dB; measured
+    # with this seed: 4 frames decode via real (multi-thousand-cycle)
+    # Fano walks, 1 times out and recovers via the Viterbi fallback
+    soft, frames = soft_symbol_stream(rng, nframes=5, amp=40.0, noise=32.0)
+    c_out, _ = run_golden("decode_sse", [], soft.tobytes())
+    my_out, _ = run_repo_cli(
+        "decode", ["--strict-labels", "--backend", "inplace"],
+        soft.tobytes(),
+    )
+    cf = parse_frames(c_out.decode())
+    mf = parse_frames(my_out.decode())
+    assert len(cf) == len(mf) == 5
+    for a, b in zip(cf, mf):
+        assert a == b
+    # equal-or-better is the contract; equality is what bit-exact
+    # kernels deliver — and the cliff must really be a cliff:
+    assert sum(f["decoder"] == "Viterbi" for f in cf) >= 1
+    assert sum(f["decoder"] == "Fano" and not f["bad"] for f in cf) >= 3
+    recovered = [f["data"] for f in cf if not f["bad"]]
+    assert len(recovered) == 5
+    for f in frames:
+        assert f.tobytes() in recovered
