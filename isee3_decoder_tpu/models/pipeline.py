@@ -333,9 +333,23 @@ def receive_wideband_device_soft(
     B=nchan — and the device-resident (nchan, S) soft symbols)."""
     from isee3_decoder_tpu.ops.channelizer import channelize
 
-    if not jnp.issubdtype(wide.dtype, jnp.complexfloating):
-        w = wide.astype(jnp.float32).reshape(-1, 2)
-        wide = (w[:, 0] + 1j * w[:, 1]).astype(jnp.complex64)
+    if wide.dtype == jnp.int32:
+        # PACKED IQ: I in bits 0..15, Q in bits 16..31 of each int32 —
+        # byte-identical to the little-endian interleaved int16
+        # recording, but a TPU-layout-safe shape (an interleaved (N, 2)
+        # view lays out with its 2-wide minor dim padded to a full
+        # 128-lane tile: 64x HBM).  Unpack is pure elementwise.
+        i_part = ((wide << 16) >> 16).astype(jnp.float32)  # sign-extend
+        q_part = (wide >> 16).astype(jnp.float32)
+        wide = (i_part + 1j * q_part).astype(jnp.complex64)
+    elif not jnp.issubdtype(wide.dtype, jnp.complexfloating):
+        # interleaved int16 I,Q: de-interleave with lane-strided slices
+        # of 128-wide rows (avoids the (N, 2) padded layout)
+        n = wide.shape[0]
+        w = jnp.pad(wide, (0, (-n) % 128)).astype(jnp.float32).reshape(-1, 128)
+        wide = (
+            (w[:, 0::2] + 1j * w[:, 1::2]).reshape(-1)[: n // 2]
+        ).astype(jnp.complex64)
     chans = channelize(wide, nchan, taps_per_branch)[0]  # (M, nout)
     soft, _, _, _ = demod_to_symbols(chans, cfg)
     return decode_block_device(soft, nframes, npos, cfg.decode), soft

@@ -2,6 +2,7 @@ from isee3_decoder_tpu.ops import (  # noqa: F401 — re-exported modules
     carrier,
     channelizer,
     fano,
+    fano_pallas,
     reductions,
     symbols,
     syncword,

@@ -31,7 +31,7 @@ def _cfg():
     )
 
 
-def _run(nchan, nsynth, ndec, distinct_frames=False):
+def _run(nchan, nsynth, ndec, distinct_frames=False, return_raw=False):
     seconds = (nsynth * 2048 + 400) / SYMRATE
     L = int(seconds * SAMPRATE)
     rng = np.random.default_rng(0)
@@ -55,15 +55,25 @@ def _run(nchan, nsynth, ndec, distinct_frames=False):
     ri = np.stack([wide.real, wide.imag], -1).reshape(-1)
     raw = np.clip(np.trunc(ri), -32767, 32767).astype(np.int16)
     rec, ss = receive_block_wideband(raw, nchan, ndec, _cfg())
+    if return_raw:
+        return rec, all_frames, raw
     return rec, all_frames
 
 
 def test_wideband_capture_single_program_decodes():
-    """2 channel slots in one capture; every frame decodes and matches."""
-    rec, frames = _run(nchan=2, nsynth=3, ndec=1)
+    """2 channel slots in one capture; every frame decodes and matches.
+
+    Also runs the identical bytes as PACKED int32 IQ (I low half, Q high
+    half — the TPU-layout-safe form of the interleaved int16 recording;
+    a little-endian int16-pair file IS an int32-packed array) and
+    requires bit-identical frames."""
+    rec, frames, raw = _run(nchan=2, nsynth=3, ndec=1, return_raw=True)
     assert rec.good.all()
     for row in rec.data:
         assert any(np.array_equal(row, f) for f in frames)
+    rec_p, _ = receive_block_wideband(raw.view(np.int32), 2, 1, _cfg())
+    np.testing.assert_array_equal(rec_p.data, rec.data)
+    np.testing.assert_array_equal(rec_p.good, rec.good)
 
 
 @pytest.mark.slow
