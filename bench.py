@@ -185,6 +185,25 @@ def _measure() -> None:
         )
         for chunk in (1, 2, 4):
             float(_viterbi_decode(vbatch[:chunk], cfg.decode).sum())
+        # every pow2 batch of the tier-2 entry path (the unjitted pad
+        # wrappers trace a tiny program per distinct caller batch) and
+        # of the failed-lane device gather — otherwise the first block
+        # with a novel straggler count remote-compiles INSIDE the timed
+        # loop (measured 2-3x on the threshold block time)
+        from isee3_decoder_tpu.models.decode import _gather_failed_lanes
+
+        starts_fake = np.zeros((nchan * 8,), np.int64)
+        for k in range(9):
+            b = 1 << k
+            sub = np.arange(b) % (nchan * 8)
+            _gather_failed_lanes(starts_fake, soft, sub, 8)
+            if b <= 256:
+                r = fano_decode(
+                    jnp.asarray(np.broadcast_to(soft1, (b, soft1.size))),
+                    mettab, FRAMEBITS, SYNC_STATE, tail,
+                    cfg.decode.code, cfg.decode.fano_params(),
+                )
+                float(r.cycles.sum())
 
     key = jax.random.PRNGKey(0)
     noise_clean = float(os.environ.get("BENCH_NOISE_STD", "2500"))
@@ -389,9 +408,16 @@ def _measure() -> None:
             )
 
         Lw = 1 << 21
+        # amplitude scaled to the capture's 16-bit dynamic range (the
+        # nchan carriers sum; at the per-channel default the wide
+        # waveform would clip ~4x over full scale and the
+        # intermodulation knocks out whole channels) — noise scales
+        # with it so per-channel C/N0 matches the clean regime
+        w_amp = min(12_000.0, 30_000.0 / nchan)
         wide = synthesize_wideband_device(
             frames_dev, carriers, jax.random.PRNGKey(5), Lw, nchan,
-            samprate=samprate, symrate=symrate, noise_std=noise_clean,
+            samprate=samprate, symrate=symrate,
+            amplitude=w_amp, noise_std=noise_clean * w_amp / 12_000.0,
         )
         wraw = to_raw_wide(wide)
         del wide

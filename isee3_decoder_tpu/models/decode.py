@@ -652,7 +652,11 @@ def _gather_failed_lanes(
     the latter gathers on device and fetches only the sub×FRAMESYMBOLS
     windows (receive_block keeps the fused chain's soft symbols on
     device so a tier-2 re-run never re-demodulates or fetches the whole
-    stream)."""
+    stream).  The device gather runs at the next power-of-2 subset size
+    (pad rows repeat lane 0, sliced off after the fetch): every distinct
+    straggler count would otherwise trace + remote-compile its own tiny
+    gather program — measured as ~3x on the threshold regime's block
+    time when novel counts appear inside a timed loop."""
     idx = starts.reshape(-1)[sub, None] + np.arange(FRAMESYMBOLS)[None, :]
     if idx.size and idx.max() >= symbols.shape[-1]:
         # the host branch's np.take_along_axis would raise on this; the
@@ -664,13 +668,19 @@ def _gather_failed_lanes(
             f" >= {symbols.shape[-1]}"
         )
     if isinstance(symbols, jax.Array):
+        n = sub.size
+        p = 1 << max(n - 1, 0).bit_length()
+        sub_p = np.concatenate([sub, np.repeat(sub[:1], p - n)])
+        idx_p = (
+            starts.reshape(-1)[sub_p, None] + np.arange(FRAMESYMBOLS)[None, :]
+        )
         return np.asarray(
             jnp.take_along_axis(
-                symbols[jnp.asarray(sub // nframes)],
-                jnp.asarray(idx, jnp.int32),
+                symbols[jnp.asarray(sub_p // nframes)],
+                jnp.asarray(idx_p, jnp.int32),
                 axis=-1,
             )
-        )
+        )[:n]
     return np.take_along_axis(symbols[sub // nframes], idx, axis=-1)
 
 

@@ -351,7 +351,12 @@ def receive_wideband_device_soft(
             (w[:, 0::2] + 1j * w[:, 1::2]).reshape(-1)[: n // 2]
         ).astype(jnp.complex64)
     chans = channelize(wide, nchan, taps_per_branch)[0]  # (M, nout)
-    soft, _, _, _ = demod_to_symbols(chans, cfg)
+    # hand the per-channel chain its RAW int16 recording format: the
+    # int16 ingestion path is the TPU-hardened one (the fused pm kernels
+    # read raw tiles; the complex path is the jnp fallback)
+    ri = jnp.stack([chans.real, chans.imag], axis=-1).reshape(nchan, -1)
+    raw = jnp.trunc(jnp.clip(ri, -32767.0, 32767.0)).astype(jnp.int16)
+    soft, _, _, _ = demod_to_symbols(raw, cfg)
     return decode_block_device(soft, nframes, npos, cfg.decode), soft
 
 

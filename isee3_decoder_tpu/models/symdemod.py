@@ -189,6 +189,11 @@ def _track_channel(
                 continue
             nochange += 1
 
+        # C parity: nsymbols is recomputed AFTER the climb ("Update in
+        # case Symrate has changed a lot, but defer until now" —
+        # symdemod.c, end of the Clocktrack block), so the final demod
+        # and the window advance use the post-climb clock's count.
+        nsym = int(cfg.window * cfg.samprate / symbolsamples)
         half = (0.5 / cfg.symbolclocks) * symbolsamples
         integ = sym_ops.integrate_from_csum(
             csum_row, jnp.asarray([first], jnp.int32), half, nsym, cfg.symbolclocks

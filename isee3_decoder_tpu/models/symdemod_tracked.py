@@ -68,8 +68,19 @@ class TrackTables(NamedTuple):
 def build_track_tables(cfg: SymConfig, k_range: int = 512) -> TrackTables:
     ss0 = cfg.symbolsamples
     incr0 = 0.5 * ss0 / (cfg.window * cfg.samprate)
-    ks = np.arange(-k_range, k_range)
-    ss = ss0 + ks * incr0
+    # Build the grid by the SAME sequential accumulation the host/C
+    # tracker performs (symdemod.c: Symbolsamples += clock_incr per
+    # accepted probe): a monotone climb of |k| steps then lands on a
+    # bitwise-identical float64 clock, so the nearbyint edge tables
+    # match the host's exactly.  ss0 + k*incr0 in one multiply is ~1 ulp
+    # off, which flips exact-.5 rounding ties (1-byte soft divergences
+    # seen at clock values like 80.02).
+    ss = np.empty(2 * k_range, np.float64)
+    ss[k_range] = ss0
+    for i in range(k_range + 1, 2 * k_range):
+        ss[i] = ss[i - 1] + incr0
+    for i in range(k_range - 1, -1, -1):
+        ss[i] = ss[i + 1] - incr0
     nsym = (cfg.window * cfg.samprate / ss).astype(np.int64)
     nsym_max = int(nsym.max())
     c = cfg.symbolclocks

@@ -118,6 +118,16 @@ def synthesize_wideband_device(
       nsamples: per-channel sample count L; the capture has
         nchan*L complex samples at rate nchan*samprate.
 
+    DYNAMIC RANGE: the wide capture sums nchan unit-modulus carriers,
+    so its peaks reach ~amplitude*nchan (worst case) /
+    ~amplitude*sqrt(nchan)*crest in practice.  If the capture will be
+    quantized to int16 (the recording format), pick
+    ``amplitude <~ 30000 / nchan`` — at the default 12,000 a
+    128-channel capture clips at ~4x full scale and the
+    intermodulation wipes out several channels (found the hard way in
+    round 5).  Per-channel C/N0 is set by amplitude/noise_std, so scale
+    both together.
+
     Returns (nchan*nsamples,) complex64 wideband samples.
     """
     M = nchan

@@ -275,7 +275,10 @@ def test_tracked_channels_climb_independently():
     soft_a, infos_a = symdemod_tracked(batch[0:1], cfg, 1)
     soft_b, infos_b = symdemod_tracked(batch[1:2], cfg, 1)
 
-    # independence: the batched run reproduces each lone run
+    # independence: the batched run reproduces each lone run BITWISE —
+    # the grid tables are built by the same sequential ``ss += incr``
+    # accumulation the host/C tracker performs, so a monotone climb
+    # lands on the identical float64 clock (build_track_tables).
     assert infos2[0]["symbolsamples"][0] == infos_a[0]["symbolsamples"][0]
     assert infos2[0]["symbolsamples"][1] == infos_b[0]["symbolsamples"][0]
     assert infos2[0]["firstsample"][0] == infos_a[0]["firstsample"][0]

@@ -46,10 +46,15 @@ def _run(nchan, nsynth, ndec, distinct_frames=False, return_raw=False):
     carriers = jnp.asarray(
         20_000.0 + 137.0 * np.arange(nchan), jnp.float32
     )
+    # amplitude within the capture's 16-bit dynamic range (see
+    # synthesize_wideband_device: nchan carriers sum, so the default
+    # per-channel amplitude clips for large banks); noise scales with it
+    amp = min(12_000.0, 30_000.0 / nchan)
     wide = np.asarray(
         synthesize_wideband_device(
             frames_dev, carriers, jax.random.PRNGKey(0), L, nchan,
-            samprate=SAMPRATE, symrate=SYMRATE, noise_std=1500.0,
+            samprate=SAMPRATE, symrate=SYMRATE,
+            amplitude=amp, noise_std=1500.0 * amp / 12_000.0,
         )
     )
     ri = np.stack([wide.real, wide.imag], -1).reshape(-1)
