@@ -183,14 +183,23 @@ def _measure() -> None:
         vbatch = jnp.asarray(
             np.broadcast_to(soft1, (8, soft1.size))
         )
+        from isee3_decoder_tpu.models.decode import (
+            _finish_frames as _ff,
+        )
+
         for chunk in (1, 2, 4):
-            float(_viterbi_decode(vbatch[:chunk], cfg.decode).sum())
+            vb = _viterbi_decode(vbatch[:chunk], cfg.decode)
+            by, vf = _ff(jnp.asarray(vb))
+            float(by.sum(dtype=jnp.int32) + vf.sum())
         # every pow2 batch of the tier-2 entry path (the unjitted pad
         # wrappers trace a tiny program per distinct caller batch) and
         # of the failed-lane device gather — otherwise the first block
         # with a novel straggler count remote-compiles INSIDE the timed
         # loop (measured 2-3x on the threshold block time)
-        from isee3_decoder_tpu.models.decode import _gather_failed_lanes
+        from isee3_decoder_tpu.models.decode import (
+            _finish_frames,
+            _gather_failed_lanes,
+        )
 
         starts_fake = np.zeros((nchan * 8,), np.int64)
         for k in range(9):
@@ -204,6 +213,10 @@ def _measure() -> None:
                     cfg.decode.code, cfg.decode.fano_params(),
                 )
                 float(r.cycles.sum())
+                # the patch paths' device-side finish (byte pack +
+                # verify) at every pow2 straggler batch
+                by, vf = _finish_frames(r.bits)
+                float(by.sum(dtype=jnp.int32) + vf.sum())
 
     key = jax.random.PRNGKey(0)
     noise_clean = float(os.environ.get("BENCH_NOISE_STD", "2500"))
@@ -372,6 +385,17 @@ def _measure() -> None:
     t0 = time.perf_counter()
     receive_block(iqs_t[0], f_avail, cfg)
     t_thr_serial = time.perf_counter() - t0
+    # one untimed pass over ALL blocks first: each distinct noise
+    # realization's first visit still pays one-time work the shape
+    # prewarm can't reach (e.g. persistent-cache loads) — measured
+    # 3.9-56 s first-touch vs 2.0 s steady state for identical blocks
+    # (scripts/tpu_threshold_blocks.py).  The timed pass below is the
+    # steady-state number a long-running receiver sees; the first-pass
+    # time is reported alongside so the drift stays visible.
+    t0 = time.perf_counter()
+    for _r, _ss in receive_blocks_pipelined(iqs_t, f_avail, cfg):
+        pass
+    t_thr_first = (time.perf_counter() - t0) / npipe
     recs_t = []
     t0 = time.perf_counter()
     for r, _ss in receive_blocks_pipelined(iqs_t, f_avail, cfg):
@@ -497,6 +521,7 @@ def _measure() -> None:
                 "realtime_channels": round(chan_rt_thr, 2),
                 "noise_std": noise_thr,
                 "t_block_pipelined_s": round(t_thr, 3),
+                "t_block_firstpass_s": round(t_thr_first, 3),
                 "t_block_cold_s": round(t_thr_cold, 3),
                 "t_chain_s": round(t_thr_serial, 3),
                 "frames_good": ngood_t,

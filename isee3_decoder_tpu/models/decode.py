@@ -88,6 +88,17 @@ def batch_shape_bounded(fn, fsyms, chunk: int = 4):
     )
 
 
+def _viterbi_chunk(cfg: "DecodeConfig") -> int:
+    """Fixed fallback batch size (see _viterbi_decode docstring)."""
+    import os
+
+    return (
+        int(os.environ.get("ISEE3_VIT_CHUNK", "4"))
+        if cfg.viterbi_backend == "fused"
+        else 4
+    )
+
+
 def _viterbi_decode(fsyms, cfg: "DecodeConfig"):
     """Dispatch the frame decode to the configured Viterbi kernel, in
     shape-bounded chunks (see batch_shape_bounded).
@@ -100,13 +111,7 @@ def _viterbi_decode(fsyms, cfg: "DecodeConfig"):
     frame-bit/s at B=4/8, scripts/tpu_fused_batch_probe.py), so chunk 4
     (4.3 GB tape) is the default.  ISEE3_VIT_CHUNK=8 opts into bigger
     batches when HBM is free."""
-    import os
-
-    chunk = (
-        int(os.environ.get("ISEE3_VIT_CHUNK", "4"))
-        if cfg.viterbi_backend == "fused"
-        else 4
-    )
+    chunk = _viterbi_chunk(cfg)
     if fsyms.shape[0] not in (1, 2, chunk):
         return batch_shape_bounded(
             lambda part: _viterbi_decode(part, cfg), fsyms, chunk
@@ -315,17 +320,25 @@ def decode_stream(
                 and cfg.fano_tier1_maxcycles < cfg.fano_maxcycles
             )
             if tiered and (~decode_ok).any():
+                # pad in numpy, fetch padded, slice in numpy: the
+                # data-dependent straggler count must not reach a trace
+                # (every novel count remote-compiles tiny slice
+                # programs — see _finish_frames)
                 sub = np.nonzero(~decode_ok)[0]
-                res2 = _pow2_pad(
-                    lambda part: fano_decode(
-                        part, mettab, FRAMEBITS, SYNC_STATE, tail,
-                        cfg.code, params,
-                    ),
-                    jnp.asarray(frame_syms[sub]),
+                n = sub.size
+                part = frame_syms[sub]
+                p2 = 1 << max(n - 1, 0).bit_length()
+                if p2 != n:
+                    part = np.concatenate(
+                        [part, np.broadcast_to(part[:1], (p2 - n, *part.shape[1:]))]
+                    )
+                res2 = fano_decode(
+                    jnp.asarray(part), mettab, FRAMEBITS, SYNC_STATE,
+                    tail, cfg.code, params,
                 )
-                bits[sub] = np.asarray(res2.bits)
-                cycles[sub] = np.asarray(res2.cycles)
-                decode_ok[sub] = np.asarray(res2.goodbits) == FRAMEBITS
+                bits[sub] = np.asarray(res2.bits)[:n]
+                cycles[sub] = np.asarray(res2.cycles)[:n]
+                decode_ok[sub] = (np.asarray(res2.goodbits) == FRAMEBITS)[:n]
 
         if cfg.viterbi_enabled:
             # decode.c:209-214 fallback policy
@@ -334,9 +347,21 @@ def decode_stream(
             else:
                 need_vit = (cfg.persistent | state.lock) & ~decode_ok
             if need_vit.any():
+                # numpy gather + pow2 pad (same per-count-trace rule as
+                # the tier-2 re-run above; pow2 batches chunk into the
+                # fixed 1/2/4 decode shapes with no tail)
                 sub = np.nonzero(need_vit)[0]
-                vbits = _viterbi_decode(fsyms[sub], cfg)
-                bits[sub] = np.asarray(vbits)
+                n = sub.size
+                part = frame_syms[sub]
+                p2 = 1 << max(n - 1, 0).bit_length()
+                if p2 != n:
+                    part = np.concatenate(
+                        [part, np.broadcast_to(part[:1], (p2 - n, *part.shape[1:]))]
+                    )
+                    global VITERBI_FRAMES_PADDED
+                    VITERBI_FRAMES_PADDED += p2 - n
+                vbits = _viterbi_decode(jnp.asarray(part), cfg)
+                bits[sub] = np.asarray(vbits)[:n]
                 decoder[sub] = DECODER_VITERBI
                 decode_ok[sub] = True  # Viterbi always returns a frame
 
@@ -684,18 +709,18 @@ def _gather_failed_lanes(
     return np.take_along_axis(symbols[sub // nframes], idx, axis=-1)
 
 
-def _pow2_pad(fn, x: jax.Array):
-    """Run fn on x padded (by repeating row 0) to the next power-of-two
-    batch, slicing the pad off the (pytree) result — bounds compiled
-    program variants to log2 sizes for data-dependent subset batches."""
-    B = x.shape[0]
-    p = 1 << max(B - 1, 0).bit_length()
-    if p == B:
-        return fn(x)
-    reps = jnp.broadcast_to(x[:1], (p - B, *x.shape[1:]))
-    return jax.tree_util.tree_map(
-        lambda a: a[:B], fn(jnp.concatenate([x, reps], axis=0))
-    )
+@jax.jit
+def _finish_frames(bits: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Device-side frame finish (byte packing + syncword verify) for the
+    host fallback patch paths.  Jitted SEPARATELY from the decode so it
+    is only ever traced at the pow2-padded / fixed-chunk batch shapes —
+    calling bits_to_bytes/verify_frame eagerly at the raw data-dependent
+    straggler count remote-compiled a handful of tiny programs per NOVEL
+    count INSIDE the bench's timed loop (first-touch threshold blocks
+    measured 3.9-56 s vs 2.0 s warm, scripts/tpu_threshold_blocks.py).
+    Packing on device keeps the tunnel fetch at 128 B/frame instead of
+    the 4 KB/frame raw bit tape."""
+    return bits_to_bytes(bits), verify_frame(bits)
 
 
 def fano_tier2_inplace(
@@ -718,7 +743,10 @@ def fano_tier2_inplace(
     The stragglers re-run as ONE lockstep batch (padded to a power of
     two): they all need the large budget anyway, so lockstep adds
     nothing, whereas fixed-size chunks would serialize full-budget
-    walks."""
+    walks.  Every device program here runs at a pow2-padded shape and
+    every result is fetched padded then sliced in NUMPY — a
+    data-dependent straggler count must never reach a trace (see
+    _finish_frames)."""
     if (
         not cfg.fano_enabled
         or cfg.fano_tier1_maxcycles is None
@@ -728,27 +756,31 @@ def fano_tier2_inplace(
     sub = np.nonzero(~ok)[0]
     if sub.size == 0:
         return
-    fsyms = _gather_failed_lanes(starts, symbols, sub, nframes)
+    fsyms = np.asarray(_gather_failed_lanes(starts, symbols, sub, nframes))
     k = cfg.code.k
     tail = SYNCWORD & ((1 << (k - 1)) - 1)
     mettab = _mettab_device(cfg)
-    res = _pow2_pad(
-        lambda part: fano_decode(
-            part, mettab, FRAMEBITS, SYNC_STATE, tail, cfg.code,
-            cfg.fano_params(),
-        ),
-        jnp.asarray(fsyms),
+    B = sub.size
+    p = 1 << max(B - 1, 0).bit_length()
+    if p != B:
+        fsyms = np.concatenate(
+            [fsyms, np.broadcast_to(fsyms[:1], (p - B, *fsyms.shape[1:]))]
+        )
+    res = fano_decode(
+        jnp.asarray(fsyms), mettab, FRAMEBITS, SYNC_STATE, tail, cfg.code,
+        cfg.fano_params(),
     )
-    fano_ok = np.asarray(res.goodbits) == FRAMEBITS
-    vf = np.asarray(verify_frame(res.bits))
+    by, vf_d = _finish_frames(res.bits)
+    fano_ok = (np.asarray(res.goodbits) == FRAMEBITS)[:B]
+    vf = np.asarray(vf_d)[:B]
     # patch EVERY straggler from the full-budget walk — including the
     # still-failed ones, whose partial bits/cycles must match what a
     # single flat full-budget pass would have reported
-    data[sub] = np.asarray(bits_to_bytes(res.bits))
+    data[sub] = np.asarray(by)[:B]
     good[sub] = fano_ok & vf
     decoder[sub] = np.where(fano_ok, DECODER_FANO, decoder[sub])
     ok[sub] = fano_ok
-    cycles[sub] = np.asarray(res.cycles)
+    cycles[sub] = np.asarray(res.cycles)[:B]
 
 
 def viterbi_fallback_inplace(
@@ -763,14 +795,30 @@ def viterbi_fallback_inplace(
 ) -> None:
     """Host-driven batched Viterbi over the lanes no device tier decoded
     (persistent-hybrid policy); patches the result arrays in place."""
+    global VITERBI_FRAMES_PADDED
     sub = np.nonzero(~ok)[0]
     if not cfg.viterbi_enabled or sub.size == 0:
         return
-    fsyms = _gather_failed_lanes(starts, symbols, sub, nframes)
-    vbits = _viterbi_decode(jnp.asarray(fsyms), cfg)
-    data[sub] = np.asarray(bits_to_bytes(vbits))
-    good[sub] = np.asarray(verify_frame(vbits))
-    decoder[sub] = DECODER_VITERBI
+    fsyms = np.asarray(_gather_failed_lanes(starts, symbols, sub, nframes))
+    # chunk HERE (not via batch_shape_bounded) so the per-chunk finish
+    # (byte pack + verify) also runs at the fixed chunk shapes and each
+    # chunk's 128 B/frame result is patched straight in — a
+    # data-dependent failure count never reaches a trace
+    chunk = _viterbi_chunk(cfg)
+    for lo in range(0, sub.size, chunk):
+        idx = sub[lo : lo + chunk]
+        part = fsyms[lo : lo + chunk]
+        n = part.shape[0]
+        if n not in (1, 2, chunk):
+            part = np.concatenate(
+                [part, np.broadcast_to(part[:1], (chunk - n, *part.shape[1:]))]
+            )
+            VITERBI_FRAMES_PADDED += chunk - n
+        vbits = _viterbi_decode(jnp.asarray(part), cfg)
+        by, vf = _finish_frames(vbits)
+        data[idx] = np.asarray(by)[:n]
+        good[idx] = np.asarray(vf)[:n]
+        decoder[idx] = DECODER_VITERBI
 
 
 def decode_block(

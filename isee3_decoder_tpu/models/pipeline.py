@@ -57,6 +57,13 @@ class PipelineConfig:
     #: extra baseband HBM round trip; "fused_scan" forces the
     #: one-dispatch pm_demod_scan_csum kernel (kept for comparison).
     pm_backend: str = "auto"
+    #: wideband front-end: "auto" uses the fused Pallas channelizer
+    #: (ops/channelizer_pallas.py — packed capture → per-channel int16
+    #: raw in one kernel) on TPU for packed-int32 input with
+    #: nchan % 128 == 0, else the jnp PFB+FFT path; "jnp" forces the
+    #: classic path; "pallas_interpret" forces the kernel interpreted
+    #: (CPU equivalence tests).
+    channelizer_backend: str = "auto"
 
 
 class PipelineResult(NamedTuple):
@@ -333,6 +340,30 @@ def receive_wideband_device_soft(
     B=nchan — and the device-resident (nchan, S) soft symbols)."""
     from isee3_decoder_tpu.ops.channelizer import channelize
 
+    if cfg.channelizer_backend not in ("auto", "jnp", "pallas_interpret"):
+        raise ValueError(
+            "channelizer_backend must be 'auto', 'jnp' or"
+            f" 'pallas_interpret', got {cfg.channelizer_backend!r}"
+        )
+    interp = cfg.channelizer_backend == "pallas_interpret"
+    if (
+        wide.dtype == jnp.int32
+        and nchan % 128 == 0
+        and cfg.channelizer_backend != "jnp"
+        and (interp or jax.default_backend() == "tpu")
+    ):
+        # fused path: packed capture → per-channel int16 raw in ONE
+        # kernel (PFB taps + DFT matmul + int16 interleave; reads the
+        # capture once instead of the jnp path's several HBM passes)
+        from isee3_decoder_tpu.ops.channelizer_pallas import (
+            channelize_raw_fused,
+        )
+
+        raw = channelize_raw_fused(
+            wide, nchan, taps_per_branch, interpret=interp
+        )
+        soft, _, _, _ = demod_to_symbols(raw, cfg)
+        return decode_block_device(soft, nframes, npos, cfg.decode), soft
     if wide.dtype == jnp.int32:
         # PACKED IQ: I in bits 0..15, Q in bits 16..31 of each int32 —
         # byte-identical to the little-endian interleaved int16
