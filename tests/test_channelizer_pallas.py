@@ -39,7 +39,7 @@ def _jnp_raw(wide_c):
 
 def test_fused_channelizer_matches_jnp_path():
     rng = np.random.default_rng(42)
-    T = 64
+    T = 128
     nframes = 3 * T + P + 5  # exercise the trailing-frame trim
     packed, wide_c = _random_capture(rng, nframes)
 
@@ -64,7 +64,7 @@ def test_fused_channelizer_recovers_a_tone():
     """A pure carrier in channel k must land in output row k with the
     expected baseband rotation (channelize's fft bin convention)."""
     rng = np.random.default_rng(1)
-    T = 64
+    T = 128
     nframes = 2 * T + P
     n = np.arange(nframes * M)
     k = 37
@@ -81,6 +81,64 @@ def test_fused_channelizer_recovers_a_tone():
     # critically-sampled bank: everything else ≥ 40 dB down
     others = np.delete(power, k)
     assert others.max() < power[k] * 1e-4
+
+
+def _jnp_raw_os2(wide_c):
+    chans = channelize(jnp.asarray(wide_c), M, P, oversample=2)[0]
+    ri = jnp.stack([chans.real, chans.imag], axis=-1).reshape(M, -1)
+    return np.asarray(
+        jnp.trunc(jnp.clip(ri, -32767.0, 32767.0)).astype(jnp.int16)
+    )
+
+
+def test_fused_channelizer_oversample2_matches_jnp():
+    """The 2x-oversampled kernel (odd stream via lane roll + row-shift
+    select, odd bins sign-flipped) reproduces channelize(oversample=2)
+    plus int16 conversion."""
+    rng = np.random.default_rng(7)
+    T = 128
+    nframes = 2 * T + P + 4
+    packed, wide_c = _random_capture(rng, nframes)
+    raw = np.asarray(
+        channelize_raw_fused(
+            jnp.asarray(packed), M, P, tile=T, oversample=2, interpret=True
+        )
+    )
+    ref = _jnp_raw_os2(wide_c)
+    n = min(raw.shape[1], ref.shape[1])
+    d = np.abs(raw[:, :n].astype(np.int32) - ref[:, :n].astype(np.int32))
+    assert d.max() <= 1
+    assert (d > 0).mean() < 0.01
+
+
+def test_fused_channelizer_oversample2_edge_tone():
+    """A tone halfway between channels k and k+1 — lost to aliasing in
+    the critically sampled bank — survives in the 2x bank (both
+    neighbours see it cleanly at ±fs_out/4)."""
+    T = 128
+    nframes = 2 * T + P
+    n = np.arange(nframes * M)
+    k = 21
+    f = (k + 0.5) / M  # channel-edge frequency
+    tone = 9000.0 * np.exp(2j * np.pi * f * n)
+    i = np.round(tone.real).astype(np.int32)
+    q = np.round(tone.imag).astype(np.int32)
+    packed = (i & 0xFFFF) | (q << 16)
+    raw = np.asarray(
+        channelize_raw_fused(
+            jnp.asarray(packed), M, P, tile=T, oversample=2, interpret=True
+        )
+    )
+    iq = raw.astype(np.float64).reshape(M, -1, 2)
+    z = iq[..., 0] + 1j * iq[..., 1]
+    # both neighbours carry the tone; its per-channel baseband frequency
+    # is ±half the channel spacing = ±fs_out/4 (fs_out = 2·fs_in/M)
+    power = (np.abs(z) ** 2).mean(axis=1)
+    assert set(np.argsort(power)[-2:]) == {k, k + 1}
+    zk = z[k][P:]  # skip filter warm-up
+    rot = zk[1:] * np.conj(zk[:-1])
+    freq = np.angle(rot.mean()) / (2 * np.pi)  # cycles/output-sample
+    assert abs(freq - 0.25) < 0.01
 
 
 def test_fused_channelizer_rejects_unaligned_nchan():
