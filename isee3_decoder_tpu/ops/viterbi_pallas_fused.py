@@ -200,7 +200,10 @@ def _kernel_a(syms_ref, base_ref, m_ref, out_ref, dec_ref, *, code, nsteps, ta):
     out_ref[0] = m.astype(out_ref.dtype)
 
 
-def _kernel_b(syms_ref, base_ref, m_ref, out_ref, dec_ref, min_ref, *, code, nsteps, rb):
+def _kernel_b(
+    syms_ref, base_ref, colpar_ref, m_ref, out_ref, dec_ref, min_ref,
+    *, code, nsteps, rb,
+):
     """Column-pairing steps ROWB..ROWB+nsteps-1 on a (RB, 2^COLB) row
     tile (full rows).  int32 arithmetic — see _kernel_a.
 
@@ -208,6 +211,16 @@ def _kernel_b(syms_ref, base_ref, m_ref, out_ref, dec_ref, min_ref, *, code, nst
     the column axis plus a select; reshape-based pairing is impossible
     here because Mosaic cannot shape-cast once the pair offset drops
     below a lane tile (o < 128).
+
+    The column-index functions of each step — the two branch-parity
+    folds parity(col_lo & mask) and the pair-position bit — are pure
+    functions of (step, column) and were ~half the per-element vector
+    work when computed in-kernel (an ~11-op XOR fold per mask per
+    element per step).  They arrive precomputed in ``colpar_ref``
+    ((3*nsteps, ncols): [pb0-col, d-col, hi-bit] per step), whose block
+    index is constant across the grid so Pallas fetches it ONCE per
+    call; the kernel reduces each fold to one broadcast XOR against the
+    (rb, 1) row parity.
     """
     w, rowb, colb = _geometry(code)
     ncols = 1 << colb
@@ -216,16 +229,21 @@ def _kernel_b(syms_ref, base_ref, m_ref, out_ref, dec_ref, min_ref, *, code, nst
 
     m = m_ref[0].astype(jnp.int32)  # (rb, ncols)
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (rb, 1), 0) + row0
-    col_iota = jax.lax.broadcasted_iota(jnp.int32, (rb, ncols), 1)
 
     for j in range(nsteps):
         t = rowb + j
         rh1, cl1, rh2, cl2 = _step_masks(code, t)
+        # row-parity halves of the two branch planes ((rb, 1) — tiny)
+        r0 = _mask_parity(row_iota, row_iota, rh1, 0)
+        rd = _mask_parity(row_iota, row_iota, rh1 ^ rh2, 0)
+        # (1, ncols) slices — 2-D keeps Mosaic on the plain vector path
+        cp0 = colpar_ref[3 * j : 3 * j + 1]  # parity(col_lo & cl1)
+        cpd = colpar_ref[3 * j + 1 : 3 * j + 2]  # parity(col_lo & (cl1^cl2))
+        hi_bit = colpar_ref[3 * j + 2 : 3 * j + 3]  # 1 at odd pair positions
+        pb0 = r0 ^ cp0 ^ code.g1flip
+        pb1 = pb0 ^ rd ^ cpd ^ code.g1flip ^ code.g2flip
         s = w - 1 - t
         o = 1 << s
-        hi_bit = (col_iota >> s) & 1  # 1 at high (odd) pair positions
-        col_lo = col_iota & ~o  # column of this pair's low element
-        pb0, pb1 = _pb_pair(row_iota, col_lo, rh1, cl1, rh2, cl2, code)
         # syms_ref holds only this phase's pairs, indexed by j not t
         s0 = syms_ref[pl.program_id(0), 2 * j]
         s1 = syms_ref[pl.program_id(0), 2 * j + 1]
@@ -235,8 +253,9 @@ def _kernel_b(syms_ref, base_ref, m_ref, out_ref, dec_ref, min_ref, *, code, nst
         keep = m + metric  # a0 at lo positions, a3 at hi positions
         swap = partner + m_metric  # a1 at lo positions, a2 at hi positions
         # strict compares as 0/1 ints: sign bit of the difference
-        c1 = (swap - keep) >> 31 & 1  # keep > swap  (d0 = a0 > a1)
-        c2 = (keep - swap) >> 31 & 1  # swap > keep  (d1 = a2 > a3)
+        d = swap - keep
+        c1 = d >> 31 & 1  # keep > swap  (d0 = a0 > a1)
+        c2 = (0 - d) >> 31 & 1  # swap > keep  (d1 = a2 > a3)
         dec = _isel(hi_bit, c2, c1)
         take_swap = dec ^ hi_bit
         m = _isel(take_swap, swap, keep)
@@ -247,6 +266,32 @@ def _kernel_b(syms_ref, base_ref, m_ref, out_ref, dec_ref, min_ref, *, code, nst
     # per-tile minimum for the next cycle's fused renorm (broadcast into
     # an (8, 128) tile — Mosaic's minimum output block granularity)
     min_ref[0, 0] = jnp.full((8, 128), jnp.min(m), jnp.int32)
+
+
+def _colpar_planes(code: CodeSpec, nsteps: int) -> np.ndarray:
+    """(3*nsteps, 2^COLB) int32 column planes for kernel B: per step the
+    column halves of the two branch-parity folds (evaluated at the pair's
+    LOW column, col & ~o) and the high-position bit.  Static per
+    (code, nsteps) — embedded as a jit constant, fetched into VMEM once
+    per pallas_call."""
+    w, rowb, colb = _geometry(code)
+    cols = np.arange(1 << colb, dtype=np.int64)
+    rows = []
+    for j in range(nsteps):
+        t = rowb + j
+        _, cl1, _, cl2 = _step_masks(code, t)
+        s = w - 1 - t
+        o = 1 << s
+        for mask in (cl1 & ~o, (cl1 ^ cl2) & ~o):
+            v = cols & mask
+            p = np.zeros_like(v)
+            while mask:
+                p ^= v & 1
+                v >>= 1
+                mask >>= 1
+            rows.append(p)
+        rows.append((cols >> s) & 1)
+    return np.asarray(rows, dtype=np.int32)
 
 
 @functools.partial(
@@ -349,7 +394,11 @@ def cycle_b(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, ntiles),
-        in_specs=[pl.BlockSpec((1, rb, ncols), lambda b, r, *_: (b, r, 0))],
+        in_specs=[
+            # constant block index: fetched into VMEM once per call
+            pl.BlockSpec((3 * nsteps, ncols), lambda b, r, *_: (0, 0)),
+            pl.BlockSpec((1, rb, ncols), lambda b, r, *_: (b, r, 0)),
+        ],
         out_specs=(
             pl.BlockSpec((1, rb, ncols), lambda b, r, *_: (b, r, 0)),
             pl.BlockSpec(
@@ -374,7 +423,12 @@ def cycle_b(
         if interpret
         else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(syms.astype(jnp.int32), jnp.zeros((B,), jnp.int32), m3)
+    )(
+        syms.astype(jnp.int32),
+        jnp.zeros((B,), jnp.int32),
+        jnp.asarray(_colpar_planes(code, nsteps)),
+        m3,
+    )
     return (
         new.reshape(B, n),
         dec.reshape(B, nsteps, n // 32).astype(jnp.uint32),
