@@ -141,3 +141,32 @@ def test_fused_decision_budget_guard():
     _check_decision_budget(4, 1024, MCQLI24.nstates)
     # small code at B=8: fine (the gate is about memory, not batch)
     _check_decision_budget(8, 1024, 256)
+
+
+def test_colpar_planes_match_infold():
+    """The precomputed kernel-B column planes equal the in-kernel fold
+    they replaced (commit 84d6b1b): parity(col_lo & mask) per step for
+    both branch planes, plus the pair-position bit."""
+    from isee3_decoder_tpu.ops.viterbi_pallas_fused import (
+        _colpar_planes,
+        _geometry,
+        _step_masks,
+    )
+
+    for code in (K15, MCQLI24):
+        w, rowb, colb = _geometry(code)
+        nsteps = w - rowb
+        planes = _colpar_planes(code, nsteps)
+        assert planes.shape == (3 * nsteps, 1 << colb)
+        cols = np.arange(1 << colb, dtype=np.int64)
+        for j in range(nsteps):
+            t = rowb + j
+            _, cl1, _, cl2 = _step_masks(code, t)
+            s = w - 1 - t
+            col_lo = cols & ~(1 << s)
+            par = lambda v: np.bitwise_count(v.astype(np.uint64)) & 1
+            np.testing.assert_array_equal(planes[3 * j], par(col_lo & cl1))
+            np.testing.assert_array_equal(
+                planes[3 * j + 1], par(col_lo & (cl1 ^ cl2))
+            )
+            np.testing.assert_array_equal(planes[3 * j + 2], (cols >> s) & 1)
